@@ -1,0 +1,146 @@
+"""Configuration dataclasses mirroring the reference's Name/Value knobs.
+
+Field names intentionally match the MATLAB properties so that reference
+experiment configurations translate one-to-one:
+- sysid knobs:  ``Ksysid_setup.m:16-25`` / ``Ksysid.m:72-104``
+- MPC knobs:    ``Kmpc_setup.m:6-17``   / ``Kmpc.m:54-72``
+- plant knobs:  ``Arm_setup.m:12-52``
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SysidConfig:
+    """Knobs for EDMD / Koopman-realization training (Ksysid)."""
+
+    model_type: str = "linear"          # 'linear' | 'bilinear' | 'nonlinear'
+    time_type: str = "discrete"         # 'discrete' | 'continuous'
+    obs_type: Tuple[str, ...] = ("poly",)
+    obs_degree: Tuple[int, ...] = (1,)
+    snapshots: float = math.inf          # number of snapshot pairs (inf = all)
+    lasso: Tuple[float, ...] = (math.inf,)  # inf => plain least squares
+    delays: int = 0
+    loaded: bool = False
+    dim_red: bool = False               # PCA dimension reduction
+    seed: int = 0                       # PRNG seed (gaussian centers, subsampling)
+    dtype: str = "float64"              # regression dtype ('float32' on TPU)
+    lasso_iters: int = 2000             # FISTA iterations for the LASSO path
+
+    def __post_init__(self):
+        object.__setattr__(self, "obs_type", tuple(self.obs_type))
+        object.__setattr__(self, "obs_degree", tuple(self.obs_degree))
+        if isinstance(self.lasso, (int, float)):
+            object.__setattr__(self, "lasso", (float(self.lasso),))
+        else:
+            object.__setattr__(self, "lasso", tuple(float(v) for v in self.lasso))
+        if self.model_type not in ("linear", "bilinear", "nonlinear"):
+            raise ValueError(f"invalid model_type {self.model_type!r}")
+        if self.time_type not in ("discrete", "continuous"):
+            raise ValueError(f"invalid time_type {self.time_type!r}")
+        if len(self.obs_type) != len(self.obs_degree):
+            raise ValueError("obs_type and obs_degree must have the same length")
+
+    @property
+    def liftinput(self) -> int:
+        # Ksysid.m:96-104
+        return {"linear": 0, "nonlinear": 1, "bilinear": 2}[self.model_type]
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcConfig:
+    """Knobs for the model-predictive controller (Kmpc)."""
+
+    horizon: Optional[int] = None        # default floor(1/Ts)  (Kmpc.m:55)
+    input_bounds: Optional[Tuple[float, float]] = None   # scalar pair or (m,2)
+    input_slopeConst: Optional[float] = None
+    input_smoothConst: Optional[float] = None
+    state_bounds: Optional[Tuple[float, float]] = None
+    cost_running: float = 0.1
+    cost_terminal: float = 100.0
+    cost_input: Sequence[float] = (0.0,)  # scalar or per-input weights
+    mpc_type: Optional[str] = None       # default: nonlinear iff model nonlinear
+    load_obs_horizon: int = 10
+    load_obs_period: int = 1
+    # projection: indices of y-dims tracked by the reference (None = all).
+    # The reference passes projmtx = model.C(end-1:end,:) to track only the
+    # end effector; here we give the row indices into y instead.
+    proj_idx: Optional[Tuple[int, ...]] = None
+    # solver knobs (no reference counterpart: quadprog/fmincon internals)
+    qp_iters: int = 25                   # interior-point iterations
+    sqp_iters: int = 5                   # SQP relinearization passes (NMPC)
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class ArmConfig:
+    """Planar N-link arm physical parameters (Arm_setup.m:12-52)."""
+
+    Nmods: int = 3          # number of modules (actuated sections)
+    nlinks: int = 1         # links per module
+    L: float = 1.0          # total arm length (m)
+    k: float = -1e-5        # joint stiffness
+    d: float = 10.0         # joint viscous damping
+    m: float = 0.1          # link mass (kg)
+    g: float = 9.81
+    ku: float = 10.0        # effective input stiffness
+    Ts: float = 0.05        # sampling time (20 Hz)
+    umax: float = math.pi / 2
+    output_type: str = "markers"   # 'angles'|'markers'|'endeff'|'shape'
+    # integrator knobs (reference uses adaptive ode45; fixed substeps map
+    # better onto lax.scan)
+    substeps: int = 10
+    integrator: str = "rk4"         # 'rk4' | 'rk45'
+
+    @property
+    def Nlinks(self) -> int:
+        return self.Nmods * self.nlinks
+
+    @property
+    def l(self) -> float:
+        return self.L / self.Nlinks
+
+    @property
+    def i(self) -> float:
+        # link inertia: (1/3) m l^2  (Arm_setup.m:35)
+        return (1.0 / 3.0) * self.m * self.l ** 2
+
+    @property
+    def nx(self) -> int:
+        return self.Nlinks * 2
+
+    @property
+    def nu(self) -> int:
+        return self.Nmods
+
+    @property
+    def nw(self) -> int:
+        return 2
+
+    @property
+    def markerPos(self) -> Tuple[float, ...]:
+        # Arm_setup.m:39
+        return tuple((i * self.l * self.nlinks) / self.L for i in range(self.Nmods + 1))
+
+    @property
+    def ny(self) -> int:
+        return {
+            "angles": self.Nlinks,
+            "markers": 2 * self.Nmods,
+            "endeff": 2,
+            "shape": 6,
+        }[self.output_type]
+
+
+def to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), default=str, indent=2)
+
+
+def from_json(cls, s: str):
+    d = json.loads(s)
+    return cls(**d)
