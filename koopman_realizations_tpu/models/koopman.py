@@ -1,0 +1,209 @@
+"""Koopman realization models (linear / bilinear / nonlinear) and rollouts.
+
+Re-design of the reference's model structs and validation simulators:
+- linear    z+ = A z + B u,          y = C z    (``Ksysid.get_model:1179``)
+- bilinear  z+ = A z + Beta(z) u,    y = C z    (``Ksysid.get_BLmodel:1238``)
+- nonlinear zeta+ = F(zeta, u) = W^T g([zeta;u]) (``Ksysid.get_NLmodel:1298``)
+
+Open-loop validation loops (``Ksysid.val_model:1623``, ``val_BLmodel:1717``,
+``val_NLmodel:1815``) become single ``lax.scan`` bodies, batched over trials
+with ``vmap``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from koopman_realizations_tpu.ops.observables import KoopmanBasis
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelMeta:
+    """Static metadata shared by all model types (reference ``params``)."""
+
+    model_type: str
+    time_type: str
+    n: int
+    m: int
+    nd: int
+    nw: int
+    N: int           # working basis dimension (reference params.N)
+    nzeta: int
+    Ts: float
+
+    @property
+    def NL(self) -> int:
+        """Lifted state dimension incl. loads: N*(nw+1)."""
+        return self.N * (self.nw + 1)
+
+
+def _model_pytree(cls):
+    """Dataclass pytree whose ``meta``/``basis`` fields are static aux."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    static = [n for n in fields if n in ("meta", "basis")]
+    dynamic = [n for n in fields if n not in static]
+
+    def flatten(obj):
+        return [getattr(obj, n) for n in dynamic], tuple(getattr(obj, n) for n in static)
+
+    def unflatten(aux, children):
+        return cls(**dict(zip(dynamic, children)), **dict(zip(static, aux)))
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_model_pytree
+class LinearModel:
+    """z+ = A z + B u, y = C z, with the M-projection already folded in."""
+
+    A: Any            # (NL, NL)
+    B: Any            # (NL, m)
+    C: Any            # (n, NL)
+    M: Any            # (NL, NL) projection matrix (Ksysid.m:1205-1217)
+    K: Any            # raw Koopman operator (for parity inspection)
+    meta: ModelMeta = None
+    basis: KoopmanBasis = None
+    lasso: float = float("inf")
+
+    def step(self, z, u):
+        return self.A @ z + self.B @ u
+
+    def output(self, z):
+        return self.C @ z
+
+
+@_model_pytree
+class BilinearModel:
+    """z+ = A z + Beta(z) u with Beta(z) = B kron(I_m, z).
+
+    ``B`` is stored reshaped as (NL, m, NL) so Beta(z) = einsum('kmj,j->km').
+    Column block k of the reference's (NL, m*NL) matrix multiplies input k
+    (``Ksysid.get_Beta_bilinear:1285-1295``).
+    """
+
+    A: Any            # (NL, NL)
+    B: Any            # (NL, m, NL)
+    C: Any            # (n, NL)
+    K: Any
+    meta: ModelMeta = None
+    basis: KoopmanBasis = None
+    lasso: float = float("inf")
+
+    def Beta(self, z):
+        return jnp.einsum("kmj,j->km", self.B, z)
+
+    def step(self, z, u):
+        return self.A @ z + jnp.einsum("kmj,j,m->k", self.B, z, u)
+
+    def output(self, z):
+        return self.C @ z
+
+
+@_model_pytree
+class NonlinearModel:
+    """zeta+ = W^T g([zeta; u])  (discrete Koopman vector field)."""
+
+    W: Any            # (N*(nw+1), nzeta): K[:, :nzeta]
+    C: Any            # (n, n) identity (Ksysid.m:1337)
+    K: Any
+    meta: ModelMeta = None
+    basis: KoopmanBasis = None
+    lasso: float = float("inf")
+
+    def F(self, zeta, u, w=None):
+        g = (self.basis.lift_loaded(jnp.concatenate([zeta, u]), w)
+             if self.meta.nw > 0 else self.basis.lift(jnp.concatenate([zeta, u])))
+        return self.W.T @ g
+
+
+# ---- open-loop validation rollouts ----------------------------------------
+
+
+def rollout_linear(model: LinearModel, z0, U, W=None):
+    """Scan z+ = A z + B u over an input sequence; returns Y [T, n], Z [T, NL].
+
+    With loads, the lifted state is re-mixed with the true load each step:
+    znow = kron(I_{nw+1}, z_N) [1; w]  (``Ksysid.val_model:1667-1671``).
+    """
+    meta = model.meta
+
+    def remix(z, w):
+        zN = z[: meta.N]
+        one_w = jnp.concatenate([jnp.ones((1,), z.dtype), w])
+        return (one_w[:, None] * zN[None, :]).reshape(-1)
+
+    def step(z, xs):
+        if W is None:
+            u = xs
+            z1 = model.step(z, u)
+        else:
+            u, w = xs
+            z1 = model.step(remix(z, w), u)
+        return z1, z1
+
+    xs = U[:-1] if W is None else (U[:-1], W[:-1])
+    _, Z = jax.lax.scan(step, z0, xs)
+    Z = jnp.concatenate([z0[None], Z], axis=0)
+    Y = Z @ model.C.T
+    return Y, Z
+
+
+def rollout_bilinear(model: BilinearModel, z0, U, W=None):
+    meta = model.meta
+
+    def remix(z, w):
+        zN = z[: meta.N]
+        one_w = jnp.concatenate([jnp.ones((1,), z.dtype), w])
+        return (one_w[:, None] * zN[None, :]).reshape(-1)
+
+    def step(z, xs):
+        if W is None:
+            u = xs
+            z1 = model.step(z, u)
+        else:
+            u, w = xs
+            zn = remix(z, w)
+            z1 = model.step(zn, u)
+        return z1, z1
+
+    xs = U[:-1] if W is None else (U[:-1], W[:-1])
+    _, Z = jax.lax.scan(step, z0, xs)
+    Z = jnp.concatenate([z0[None], Z], axis=0)
+    Y = Z @ model.C.T
+    return Y, Z
+
+
+def rollout_nonlinear(model: NonlinearModel, zeta0, U, W=None):
+    """Iterate zeta+ = F(zeta, u); y = zeta[:n] (``Ksysid.val_NLmodel``)."""
+    meta = model.meta
+
+    def step(zeta, xs):
+        if W is None:
+            u = xs
+            z1 = model.F(zeta, u)
+        else:
+            u, w = xs
+            z1 = model.F(zeta, u, w)
+        return z1, z1
+
+    xs = U[:-1] if W is None else (U[:-1], W[:-1])
+    _, Zt = jax.lax.scan(step, zeta0, xs)
+    Zt = jnp.concatenate([zeta0[None], Zt], axis=0)
+    Y = Zt[:, : meta.n]
+    return Y, Zt
+
+
+def rollout(model, init, U, W=None):
+    if isinstance(model, LinearModel):
+        return rollout_linear(model, init, U, W)
+    if isinstance(model, BilinearModel):
+        return rollout_bilinear(model, init, U, W)
+    if isinstance(model, NonlinearModel):
+        return rollout_nonlinear(model, init, U, W)
+    raise TypeError(f"unknown model type {type(model)}")
