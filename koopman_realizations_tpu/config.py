@@ -92,10 +92,11 @@ class ArmConfig:
     Ts: float = 0.05        # sampling time (20 Hz)
     umax: float = math.pi / 2
     output_type: str = "markers"   # 'angles'|'markers'|'endeff'|'shape'
-    # integrator knobs (reference uses adaptive ode45; fixed substeps map
-    # better onto lax.scan)
+    # integrator knobs (reference uses adaptive ode45; the plant is stiff, so
+    # the default is an L-stable implicit SDIRK2 with fixed substeps, which
+    # maps onto lax.scan; 'rk4' needs substeps >= ~140 for stability)
     substeps: int = 10
-    integrator: str = "rk4"         # 'rk4' | 'rk45'
+    integrator: str = "sdirk2"      # 'sdirk2' | 'rk4' | 'rk45'
 
     @property
     def Nlinks(self) -> int:

@@ -1,0 +1,240 @@
+"""Differentiable planar N-link arm plant (reference class ``Arm``).
+
+The reference derives the equations of motion symbolically (MATLAB Symbolic
+Toolbox, ``Arm.set_EOM:111-222``) and compiles them with ``matlabFunction``.
+Here the same Lagrangian mechanics come out of closed-form kinematics plus
+JAX autodiff -- no symbols, fully jittable, batched with vmap:
+
+    Dq(a, w) addot = -( dDq/dt adot - dL/da + damp + input )
+
+with
+    Dq   = m Jxcm^T Jxcm + i Jth^T Jth + Jx_end^T diag(m_eff) Jx_end
+    L    = KE - PE,  KE = 1/2 adot^T Dq adot
+    PE   = -m g sum(h_links) - w1 g h_eff + 1/2 k a^T a
+    damp = d adot
+    input= -ku (kron(u, 1_nlinks) - a)       (u is a joint *reference angle*,
+                                              Arm.m:211-213, "Known Issue #1")
+    w    = [end-effector mass, gravity direction angle]
+
+Sensing (``Arm.get_y:364-412``): 'angles' | 'markers' | 'endeff' | 'shape'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koopman_realizations_tpu.config import ArmConfig
+from koopman_realizations_tpu.ops.integrators import rk4, rk45, sdirk2
+
+
+class Arm:
+    """Planar N-link arm with autodiff Lagrangian dynamics."""
+
+    def __init__(self, cfg: ArmConfig):
+        self.cfg = cfg
+        self.nlinks = cfg.Nlinks
+        self._shape_obs_matrix = self._build_shape_obs_matrix()
+
+    # ---------------------------------------------------------- kinematics
+
+    def alpha2theta(self, alpha):
+        """Relative joint angles -> absolute angles (``Arm.m:37-50``)."""
+        return jnp.cumsum(alpha)
+
+    def joint_positions(self, alpha):
+        """xy of each joint 0..Nlinks (rows), link COMs (``Arm.m:53-76``)."""
+        theta = self.alpha2theta(alpha)
+        step = self.cfg.l * jnp.stack([-jnp.sin(theta), jnp.cos(theta)], axis=1)
+        joints = jnp.concatenate(
+            [jnp.zeros((1, 2), alpha.dtype), jnp.cumsum(step, axis=0)], axis=0)
+        coms = joints[:-1] + 0.5 * step
+        return joints, coms
+
+    # ------------------------------------------------------------ dynamics
+
+    def mass_matrix(self, alpha, w):
+        """Configuration-dependent mass matrix Dq (``Arm.m:148-151``)."""
+        cfg = self.cfg
+
+        def xcm_flat(a):
+            return self.joint_positions(a)[1].reshape(-1)
+
+        def theta_fn(a):
+            return self.alpha2theta(a)
+
+        def xj_flat(a):
+            return self.joint_positions(a)[0][1:].reshape(-1)  # joints 1..N
+
+        J_xcm = jax.jacfwd(xcm_flat)(alpha)
+        J_th = jax.jacfwd(theta_fn)(alpha)
+        J_x = jax.jacfwd(xj_flat)(alpha)
+        # end-effector point mass on the last joint's xy coordinates
+        m_joints = jnp.zeros(2 * self.nlinks, alpha.dtype)
+        m_joints = m_joints.at[-2:].set(w[0])
+        Dq = (cfg.m * J_xcm.T @ J_xcm
+              + cfg.i * J_th.T @ J_th
+              + J_x.T @ (m_joints[:, None] * J_x))
+        return Dq
+
+    def potential_energy(self, alpha, w):
+        """PE with tilted gravity + joint springs (``Arm.m:164-169``)."""
+        cfg = self.cfg
+        joints, coms = self.joint_positions(alpha)
+        gdir = jnp.stack([-jnp.sin(w[1]), jnp.cos(w[1])])
+        h_links = coms @ gdir
+        h_eff = joints[-1] @ gdir
+        return (-cfg.m * cfg.g * jnp.sum(h_links)
+                - w[0] * cfg.g * h_eff
+                + 0.5 * cfg.k * jnp.sum(alpha ** 2))
+
+    def input_torque(self, alpha, u):
+        """tau = -ku (kron(u, 1_nlinks) - alpha) (``Arm.m:211-213``)."""
+        u_rep = jnp.repeat(u, self.cfg.nlinks)
+        return -self.cfg.ku * (u_rep - alpha)
+
+    def accel(self, alpha, alphadot, u, w):
+        """Joint accelerations from the Euler-Lagrange equations.
+
+        Mirrors ``Arm.set_EOM:220-221``: nonInert = Dq_dt adot - dL/da +
+        damp + input, then Dq addot = -nonInert.
+        """
+        cfg = self.cfg
+
+        def lagrangian(a):
+            Dq = self.mass_matrix(a, w)
+            ke = 0.5 * alphadot @ (Dq @ alphadot)
+            return ke - self.potential_energy(a, w)
+
+        dLda = jax.grad(lagrangian)(alpha)
+        dDq = jax.jacfwd(lambda a: self.mass_matrix(a, w))(alpha)  # (n,n,n)
+        Dq_dt = jnp.einsum("ijk,k->ij", dDq, alphadot)
+        non_inert = (Dq_dt @ alphadot - dLda
+                     + cfg.d * alphadot + self.input_torque(alpha, u))
+        Dq = self.mass_matrix(alpha, w)
+        return jnp.linalg.solve(Dq, -non_inert)
+
+    def rhs(self, x, u, w):
+        """State-space RHS for x = [alpha; alphadot] (``Arm.vf_RHS:258-279``)."""
+        n = self.nlinks
+        alpha, alphadot = x[:n], x[n:]
+        return jnp.concatenate([alphadot, self.accel(alpha, alphadot, u, w)])
+
+    # ---------------------------------------------------------- simulation
+
+    def simulate_Ts(self, x, u, w=None, Ts: Optional[float] = None):
+        """One control-period step (``Arm.simulate_Ts:932-956``), jittable."""
+        cfg = self.cfg
+        w = jnp.zeros(2, x.dtype) if w is None else jnp.asarray(w)
+        Ts = cfg.Ts if Ts is None else Ts
+        f = lambda s: self.rhs(s, u, w)
+        if cfg.integrator == "rk45":
+            return rk45(f, x, Ts)
+        if cfg.integrator == "rk4":
+            return rk4(f, x, Ts, cfg.substeps)
+        return sdirk2(f, x, Ts, cfg.substeps)
+
+    def simulate(self, x0, U, w=None):
+        """Roll the plant over a ZOH input table U [T, nu] (scan).
+
+        Returns X [T+1, nx]; ``U[k]`` is held over step k (the reference's
+        ``simulate``/``simulate_rampNhold`` hold the per-step table value).
+        """
+        w = jnp.zeros(2, jnp.asarray(x0).dtype) if w is None else jnp.asarray(w)
+
+        def body(x, u):
+            x1 = self.simulate_Ts(x, u, w)
+            return x1, x1
+
+        _, X = jax.lax.scan(body, jnp.asarray(x0), jnp.asarray(U))
+        return jnp.concatenate([jnp.asarray(x0)[None], X], axis=0)
+
+    def ramp_and_hold(self, rng: np.random.Generator, tf: float, Tramp: float):
+        """Random ramp-and-hold input table (``Arm.get_rampNhold:1054-1070``).
+
+        Host-side numpy (data generation); returns (tsteps [T], u [T, nu]).
+        """
+        cfg = self.cfg
+        tsteps = np.arange(0.0, tf + 1e-12, cfg.Ts)
+        tswitch = np.arange(0.0, tf + 1e-12, Tramp)
+        num_periods = int(np.ceil(len(tswitch) / 2))
+        vals = cfg.umax * (2 * rng.random((num_periods, cfg.Nmods)) - 1)
+        hold = np.repeat(vals, 2, axis=0)[: len(tswitch)]
+        u = np.stack([np.interp(tsteps, tswitch, hold[:, j], left=0, right=0)
+                      for j in range(cfg.Nmods)], axis=1)
+        return tsteps, u
+
+    # -------------------------------------------------------------- sensing
+
+    def get_markers(self, alpha):
+        """Marker xy rows: every nlinks-th joint (``Arm.get_markers:307-311``)."""
+        joints, _ = self.joint_positions(alpha)
+        return joints[:: self.cfg.nlinks]
+
+    def _build_shape_obs_matrix(self) -> np.ndarray:
+        """pinv of the Vandermonde system in points2poly (``Arm.m:339-352``).
+
+        Static: depends only on marker positions; degree 3.
+        """
+        positions = np.asarray(self.cfg.markerPos)[1:]
+        positions_supp = np.concatenate([[0.0, 1e-2], positions, [1.0 + 1e-2]])
+        A = np.stack([positions_supp ** i for i in range(1, 4)], axis=1)
+        return np.linalg.pinv(A)
+
+    def shape_coeffs(self, alpha):
+        """Degree-3 shape polynomial coefficients (``Arm.points2poly:314-361``)."""
+        markers = self.get_markers(alpha)
+        theta = self.alpha2theta(alpha)
+        orient = jnp.stack([jnp.sin(theta[-1]), jnp.cos(theta[-1])])
+        endpoint = orient * 1e-2 + markers[-1]
+        startpoint = jnp.asarray([0.0, 1e-2], alpha.dtype)
+        pts = jnp.concatenate([
+            jnp.zeros((1, 2), alpha.dtype), startpoint[None],
+            markers[1:], endpoint[None]], axis=0)
+        P = jnp.asarray(self._shape_obs_matrix, alpha.dtype)
+        coeffs = (P @ pts).T                      # rows: x-coeffs, y-coeffs
+        return coeffs.reshape(-1)                 # [cx1 cx2 cx3 cy1 cy2 cy3]
+
+    def get_y(self, x):
+        """Measured output from full state (``Arm.get_y:364-412``), single row."""
+        n = self.nlinks
+        alpha = x[:n]
+        ot = self.cfg.output_type
+        if ot == "angles":
+            return alpha
+        if ot == "markers":
+            return self.get_markers(alpha)[1:].reshape(-1)  # drop origin marker
+        if ot == "endeff":
+            return self.get_markers(alpha)[-1]
+        if ot == "shape":
+            return self.shape_coeffs(alpha)
+        raise ValueError(f"unknown output_type {ot!r}")
+
+    def get_y_batch(self, X):
+        return jax.vmap(self.get_y)(jnp.asarray(X))
+
+    # ------------------------------------------------------ data generation
+
+    def simulate_rampNhold(self, rng: np.random.Generator, tf: float,
+                           Tramp: float, w=np.zeros(2)):
+        """One excitation trial (``Arm.simulate_rampNhold:866-929``).
+
+        Returns a dict with t, x, alpha, alphadot, y, u, w -- the reference's
+        sim struct schema, ready for Data packing.
+        """
+        t, u = self.ramp_and_hold(rng, tf, Tramp)
+        x0 = jnp.zeros(self.cfg.nx)
+        X = self.simulate(x0, jnp.asarray(u[:-1]), jnp.asarray(w, jnp.asarray(x0).dtype))
+        Y = self.get_y_batch(X)
+        return {
+            "t": t, "x": np.asarray(X),
+            "alpha": np.asarray(X[:, : self.nlinks]),
+            "alphadot": np.asarray(X[:, self.nlinks:]),
+            "y": np.asarray(Y), "u": u,
+            "w": np.tile(np.asarray(w), (len(t), 1)),
+        }
