@@ -1,0 +1,7 @@
+from koopman_realizations_tpu.control.kmpc import (  # noqa: F401
+    BilinearKmpc,
+    LinearKmpc,
+    NonlinearKmpc,
+    make_kmpc,
+)
+from koopman_realizations_tpu.control.ksim import Ksim  # noqa: F401

@@ -1,0 +1,437 @@
+"""Horizon-condensed MPC on Koopman realizations (reference class ``Kmpc``).
+
+Three controller types, mirroring ``Kmpc.m``:
+- ``LinearKmpc``    : all cost/constraint matrices precomputed once
+  (``get_costMatrices:157-211``, ``get_constraintMatrices:214-326``); one QP
+  per control step (``get_mpcInput:329-387``).
+- ``BilinearKmpc``  : prediction matrices depend on the current lifted state
+  through Beta(z); rebuilt per solve from precomputed powers of A
+  (``get_costB_bilinear:569-596``, ``get_mpcInput_bilinear_iter:817-904``),
+  with ``iter`` relinearization passes (Ksim uses iter=1).
+- ``NonlinearKmpc`` : SQP by iterated linearization of the discrete vector
+  field F(zeta, u) with autodiff Jacobians, condensed to an input-only QP
+  (semantics of ``get_mpcInput_nonlinear:1114-1181``; fmincon's sqp becomes
+  a fixed-iteration Gauss-Newton real-time iteration).
+
+TPU-first mechanics shared by all three:
+- the "memory" equality u_0 = u_prev (``Kmpc.m:374-379``) is eliminated from
+  the decision variable instead of appended as constraint rows,
+- prediction matrices use precomputed A-powers (associative, static shapes),
+- the per-step QP is ``ops.qp.solve_qp`` -- fixed-iteration interior point,
+  jitted into the closed-loop scan and vmapped over scenario lanes,
+- infeasible lanes surface as ``ok=False`` masks, not NaN crashes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koopman_realizations_tpu.config import MpcConfig
+from koopman_realizations_tpu.models.koopman import (
+    BilinearModel,
+    LinearModel,
+    NonlinearModel,
+)
+from koopman_realizations_tpu.ops.qp import solve_qp
+
+
+# --------------------------------------------------------------------------
+# static constraint stacking (host-side numpy; Kmpc.get_constraintMatrices)
+# --------------------------------------------------------------------------
+
+
+def input_constraint_rows(cfg: MpcConfig, m: int, Np: int, scaler):
+    """(F, c) rows acting on the stacked input U in scaled units.
+
+    Unlike the reference we omit the all-zero padding rows (0 <= 0 rows are
+    vacuous and break interior-point slacks).
+    Blocks: input bounds (``Kmpc.m:230-253``), slope (``:256-277``),
+    smoothness (``:280-297``).
+    """
+    F_rows, c_rows = [], []
+    if cfg.input_bounds is not None:
+        ib = np.asarray(cfg.input_bounds, float)
+        if ib.ndim == 1:
+            ib = np.tile(ib, (m, 1))                      # expand_props
+        lo = np.asarray(scaler.u_down(ib[:, 0]))
+        hi = np.asarray(scaler.u_down(ib[:, 1]))
+        eye = np.eye(m)
+        for k in range(Np):
+            sel = np.zeros((m, m * Np))
+            sel[:, k * m:(k + 1) * m] = eye
+            F_rows += [-sel, sel]
+            c_rows += [-lo, hi]
+    if cfg.input_slopeConst is not None:
+        lim = cfg.input_slopeConst * float(np.mean(scaler.u_factor))
+        for k in range(Np - 1):
+            sel = np.zeros((m, m * Np))
+            sel[:, (k + 1) * m:(k + 2) * m] = np.eye(m)
+            sel[:, k * m:(k + 1) * m] = -np.eye(m)
+            F_rows += [sel, -sel]
+            c_rows += [np.full(m, lim), np.full(m, lim)]
+    if cfg.input_smoothConst is not None:
+        # the caller applies the reference's Ts^2 factor to these rows
+        lim = cfg.input_smoothConst * float(np.mean(scaler.u_factor))
+        for k in range(Np - 2):
+            sel = np.zeros((m, m * Np))
+            sel[:, k * m:(k + 1) * m] = np.eye(m)
+            sel[:, (k + 1) * m:(k + 2) * m] = -2 * np.eye(m)
+            sel[:, (k + 2) * m:(k + 3) * m] = np.eye(m)
+            F_rows += [sel, -sel]
+            c_rows += [np.full(m, lim), np.full(m, lim)]
+    if not F_rows:
+        return np.zeros((0, m * Np)), np.zeros((0,))
+    return np.concatenate(F_rows, axis=0), np.concatenate(c_rows)
+
+
+def state_constraint_rows(cfg: MpcConfig, n: int, NL: int, Np: int, scaler):
+    """(E, c) rows bounding the first n lifted coords (``Kmpc.m:300-318``)."""
+    if cfg.state_bounds is None:
+        return np.zeros((0, NL * (Np + 1))), np.zeros((0,))
+    sb = np.asarray(cfg.state_bounds, float)
+    if sb.ndim == 1:
+        sb = np.tile(sb, (n, 1))
+    lo = np.asarray(scaler.y_down(sb[:, 0]))
+    hi = np.asarray(scaler.y_down(sb[:, 1]))
+    E_rows, c_rows = [], []
+    for k in range(Np + 1):
+        sel = np.zeros((n, NL * (Np + 1)))
+        sel[:, k * NL:k * NL + n] = np.eye(n)
+        E_rows += [-sel, sel]
+        c_rows += [-lo, hi]
+    return np.concatenate(E_rows, axis=0), np.concatenate(c_rows)
+
+
+def _pad_ref(refhor, Np: int, nproj: int):
+    """Pad/truncate a reference window to Np+1 rows (``Kmpc.m:354-362``)."""
+    refhor = jnp.asarray(refhor)
+    K = refhor.shape[0]
+    if K == Np + 1:
+        return refhor
+    if K > Np + 1:
+        return refhor[: Np + 1]
+    pad = jnp.tile(refhor[-1:], (Np + 1 - K, 1))
+    return jnp.concatenate([refhor, pad], axis=0)
+
+
+def _smooth_ts2(cfg: MpcConfig, Ts: float, c_in: np.ndarray, m: int, Np: int):
+    """Apply the reference's Ts^2 factor to the smoothness rows."""
+    if cfg.input_smoothConst is None:
+        return c_in
+    c = c_in.copy()
+    n_b = 0 if cfg.input_bounds is None else 2 * m * Np
+    n_s = 0 if cfg.input_slopeConst is None else 2 * m * (Np - 1)
+    start = n_b + n_s
+    c[start: start + 2 * m * (Np - 2)] *= Ts ** 2
+    return c
+
+
+class _KmpcBase:
+    """Shared setup: dims, projection, scaling, constraint stacks."""
+
+    def __init__(self, model, scaler, cfg: MpcConfig):
+        self.model = model
+        self.meta = model.meta
+        self.scaler = scaler
+        self.cfg = cfg
+        self.Np = cfg.horizon or int(np.floor(1.0 / self.meta.Ts))
+        self.n, self.m = self.meta.n, self.meta.m
+        self.NL = self.meta.NL
+
+        # projection: row indices of y tracked by the reference
+        self.proj_idx = tuple(cfg.proj_idx) if cfg.proj_idx is not None \
+            else tuple(range(self.n))
+        self.nproj = len(self.proj_idx)
+        C = np.asarray(model.C)
+        self.projmtx = C[list(self.proj_idx), :]          # (nproj, NL)
+
+        # Q, R diagonal weights over the stacked horizon
+        q_diag = np.full((self.Np + 1, self.nproj), cfg.cost_running)
+        q_diag[-1] = cfg.cost_terminal
+        self.q_diag = q_diag.reshape(-1)
+        r = np.asarray(cfg.cost_input, float).reshape(-1)
+        if r.size == 1:
+            r = np.full(self.m, r[0])
+        self.r_diag = np.tile(r, self.Np)
+
+        # static input-constraint rows
+        F, cF = input_constraint_rows(cfg, self.m, self.Np, scaler)
+        cF = _smooth_ts2(cfg, self.meta.Ts, cF, self.m, self.Np)
+        self.F, self.cF = F, cF
+
+    # memory-constraint elimination helpers -------------------------------
+
+    def _eliminate_u0(self, P, f, A, b, u0):
+        """Pin the first input block to u0 and reduce the QP.
+
+        Replaces the reference's tacked-on equality rows (``Kmpc.m:374-379``).
+        """
+        m = self.m
+        P11, P12, P22 = P[:m, :m], P[:m, m:], P[m:, m:]
+        fz = f[m:] + P[m:, :m] @ u0
+        Az = A[:, m:]
+        bz = b - A[:, :m] @ u0
+        return P22, fz, Az, bz
+
+    def _assemble_U(self, u0, z):
+        return jnp.concatenate([u0, z]).reshape(self.Np, self.m)
+
+
+class LinearKmpc(_KmpcBase):
+    """Linear-model MPC with fully static condensed matrices."""
+
+    def __init__(self, model: LinearModel, scaler, cfg: MpcConfig):
+        super().__init__(model, scaler, cfg)
+        A = np.asarray(model.A)
+        B = np.asarray(model.B)
+        NL, m, Np = self.NL, self.m, self.Np
+
+        powers = [np.eye(NL)]
+        for _ in range(Np):
+            powers.append(powers[-1] @ A)
+
+        # stacked prediction: z_i = A^i z0 + sum_j A^(i-1-j) B u_j
+        Abig = np.concatenate(powers, axis=0)                    # (NL(Np+1), NL)
+        Bbig = np.zeros((NL * (Np + 1), m * Np))
+        for i in range(1, Np + 1):
+            for j in range(i):
+                Bbig[i * NL:(i + 1) * NL, j * m:(j + 1) * m] = powers[i - 1 - j] @ B
+
+        Cbig = np.kron(np.eye(Np + 1), self.projmtx)             # ((Np+1)p, NL(Np+1))
+        CA = Cbig @ Abig
+        CB = Cbig @ Bbig
+
+        H = CB.T @ (self.q_diag[:, None] * CB) + np.diag(self.r_diag)
+        E, cE = state_constraint_rows(cfg, self.n, NL, Np, scaler)
+        L = np.concatenate([self.F, E @ Bbig], axis=0)
+        M = np.concatenate([np.zeros((self.F.shape[0], NL)), E @ Abig], axis=0)
+        c = np.concatenate([self.cF, cE])
+
+        self.CA = jnp.asarray(CA)
+        self.CB = jnp.asarray(CB)
+        self.H = jnp.asarray(H)
+        self.L = jnp.asarray(L)
+        self.Mc = jnp.asarray(M)
+        self.c = jnp.asarray(c)
+        self.Qd = jnp.asarray(self.q_diag)
+
+    def solve(self, z, u_prev, refhor):
+        """One MPC solve (``Kmpc.get_mpcInput:329-387``), jittable.
+
+        z: current lifted state (NL,); u_prev: last applied input (m,);
+        refhor: scaled reference window (<=Np+1, nproj).
+        Returns (U [Np, m], ok).
+        """
+        ref = _pad_ref(refhor, self.Np, self.nproj)
+        Yr = ref.reshape(-1)
+        # f = 2 CB^T Q (CA z - Yr)   (== (z'G + Yr'D)' of the reference)
+        f = 2.0 * self.CB.T @ (self.Qd * (self.CA @ z - Yr))
+        P = 2.0 * self.H
+        b = self.c - self.Mc @ z
+        Pz, fz, Az, bz = self._eliminate_u0(P, f, self.L, b, u_prev)
+        sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters)
+        return self._assemble_U(u_prev, sol.x), sol.ok
+
+
+class BilinearKmpc(_KmpcBase):
+    """Bilinear-model MPC: B depends on the current lifted state."""
+
+    def __init__(self, model: BilinearModel, scaler, cfg: MpcConfig):
+        super().__init__(model, scaler, cfg)
+        A = np.asarray(model.A)
+        NL, Np = self.NL, self.Np
+        powers = [np.eye(NL)]
+        for _ in range(Np):
+            powers.append(powers[-1] @ A)
+        self.powers = jnp.asarray(np.stack(powers))              # (Np+1, NL, NL)
+        self.Abig = jnp.asarray(np.concatenate(powers, axis=0))
+        self.Cproj = jnp.asarray(self.projmtx)
+        E, cE = state_constraint_rows(cfg, self.n, NL, Np, scaler)
+        self.E = jnp.asarray(E)
+        self.cE = jnp.asarray(cE)
+        self.Fj = jnp.asarray(self.F)
+        self.cFj = jnp.asarray(self.cF)
+        self.Qd = jnp.asarray(self.q_diag)
+        self.Rd = jnp.asarray(self.r_diag)
+        # block index map i-1-j for the lower-triangular Toeplitz structure
+        idx = np.zeros((Np + 1, Np), np.int32)
+        valid = np.zeros((Np + 1, Np), bool)
+        for i in range(Np + 1):
+            for j in range(Np):
+                if i > j:
+                    idx[i, j] = i - 1 - j
+                    valid[i, j] = True
+        self._tidx = jnp.asarray(idx)
+        self._tvalid = jnp.asarray(valid)
+
+    def _Bbig(self, zhor):
+        """Stacked input matrix with Beta evaluated at zhor (``:569-596``).
+
+        zhor: (Np, NL) lifted-state trajectory (rows may be identical for the
+        single-linearization case).  Block (i, j) = A^(i-1-j) Beta(z_j).
+        """
+        Beta_j = jnp.einsum("kmj,pj->pkm", self.model.B, zhor)   # (Np, NL, m)
+        blocks = jnp.einsum("ijkl,jlm->ijkm", self.powers[self._tidx], Beta_j)
+        blocks = jnp.where(self._tvalid[:, :, None, None], blocks, 0.0)
+        # (Np+1, Np, NL, m) -> (NL(Np+1), m Np)
+        return blocks.transpose(0, 2, 1, 3).reshape(
+            (self.Np + 1) * self.NL, self.Np * self.m)
+
+    def _qp_data(self, z, zhor, Yr):
+        Bbig = self._Bbig(zhor)
+        CB = jnp.kron(jnp.eye(self.Np + 1, dtype=Bbig.dtype), self.Cproj) @ Bbig
+        CAz = (jnp.kron(jnp.eye(self.Np + 1, dtype=Bbig.dtype), self.Cproj)
+               @ (self.Abig @ z))
+        H = CB.T @ (self.Qd[:, None] * CB) + jnp.diag(self.Rd)
+        f = 2.0 * CB.T @ (self.Qd * (CAz - Yr))
+        L = jnp.concatenate([self.Fj, self.E @ Bbig], axis=0)
+        Mz = jnp.concatenate(
+            [jnp.zeros((self.Fj.shape[0],), z.dtype), self.E @ (self.Abig @ z)])
+        b = jnp.concatenate([self.cFj, self.cE]) - Mz
+        return 2.0 * H, f, L, b
+
+    def solve(self, z, u_prev, refhor, iters: int = 1):
+        """iter-relinearized solve (``get_mpcInput_bilinear_iter:817-904``).
+
+        Ksim uses iters=1: one QP about Beta(z) held constant over the
+        horizon.  For iters>1 the lifted trajectory is re-rolled between QPs.
+        """
+        ref = _pad_ref(refhor, self.Np, self.nproj)
+        Yr = ref.reshape(-1)
+        zhor = jnp.tile(z[None, :], (self.Np, 1))
+        U, ok = None, None
+        for it in range(iters):
+            P, f, L, b = self._qp_data(z, zhor, Yr)
+            Pz, fz, Az, bz = self._eliminate_u0(P, f, L, b, u_prev)
+            sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters)
+            U, ok = self._assemble_U(u_prev, sol.x), sol.ok
+            if it + 1 == iters:
+                break
+            # re-roll the lifted state under the new inputs (``:891-895``)
+            def roll(zc, u):
+                z1 = self.model.step(zc, u)
+                return z1, zc
+            _, zhor = jax.lax.scan(roll, z, U)
+        return U, ok
+
+
+class NonlinearKmpc(_KmpcBase):
+    """SQP NMPC on the nonlinear realization (or bilinear-as-NMPC).
+
+    The reference hands fmincon a decision [Z; U] with dynamics equalities
+    and analytic Jacobians (``nonlcon_nmpc:1074-1111``).  Here each SQP pass
+    linearizes F along the current trajectory, condenses Z out, and solves
+    the same input-only QP shape as the linear controller -- a Gauss-Newton
+    real-time iteration with exact autodiff Jacobians.
+    """
+
+    def __init__(self, model, scaler, cfg: MpcConfig, F_fn=None):
+        super().__init__(model, scaler, cfg)
+        if F_fn is not None:
+            self.F_fn = F_fn
+        elif isinstance(model, NonlinearModel):
+            self.F_fn = lambda zeta, u: model.F(zeta, u)
+        elif isinstance(model, BilinearModel):
+            # bilinear-as-NMPC: F = C (A g(zeta) + Beta(g(zeta)) u)  (Kmpc.m:93)
+            basis = model.basis
+
+            def F_fn(zeta, u):
+                g = basis.lift(zeta)
+                return model.C @ model.step(g, u)
+
+            self.F_fn = F_fn
+        else:
+            raise TypeError("NonlinearKmpc needs a NonlinearModel or BilinearModel")
+        self.nz = self.meta.nzeta
+        # projection acts on the first n state dims (Kmpc.m:924)
+        self.Cz = jnp.asarray(self.projmtx[:, : self.n])
+        E, cE = state_constraint_rows(cfg, self.n, self.n, self.Np, scaler)
+        self.E = jnp.asarray(E)       # rows over stacked zeta[:n]
+        self.cE = jnp.asarray(cE)
+        self.Fj = jnp.asarray(self.F)
+        self.cFj = jnp.asarray(self.cF)
+        self.Qd = jnp.asarray(self.q_diag)
+        self.Rd = jnp.asarray(self.r_diag)
+
+    def _condense(self, Zl, Ul, zeta0):
+        """Linearize dynamics along (Zl, Ul) and condense to U-only form.
+
+        Returns (Sz [stacked zeta wrt U], s0 [affine part]) with
+        Z = s0 + Sz @ vec(U).
+        """
+        Np, nz, m = self.Np, self.nz, self.m
+        jac_z = jax.vmap(jax.jacfwd(self.F_fn, argnums=0))(Zl, Ul)   # (Np,nz,nz)
+        jac_u = jax.vmap(jax.jacfwd(self.F_fn, argnums=1))(Zl, Ul)   # (Np,nz,m)
+        Fv = jax.vmap(self.F_fn)(Zl, Ul)                              # (Np,nz)
+        cv = Fv - jnp.einsum("kij,kj->ki", jac_z, Zl) \
+                - jnp.einsum("kij,kj->ki", jac_u, Ul)
+
+        def fwd(carry, inp):
+            Sk, sk = carry                     # zeta_k = sk + Sk @ vec(U)
+            Ak, Bk, ck, k = inp
+            S1 = Ak @ Sk
+            blk = jax.lax.dynamic_slice(S1, (0, k * m), (nz, m))
+            S1 = jax.lax.dynamic_update_slice(S1, blk + Bk, (0, k * m))
+            s1 = Ak @ sk + ck
+            return (S1, s1), (S1, s1)
+
+        S0 = jnp.zeros((nz, Np * m), Zl.dtype)
+        s0 = zeta0
+        ks = jnp.arange(Np)
+        (_, _), (Ss, ss) = jax.lax.scan(
+            fwd, (S0, s0), (jac_z, jac_u, cv, ks))
+        Sz = jnp.concatenate([S0[None], Ss], axis=0)      # (Np+1, nz, Np m)
+        sz = jnp.concatenate([s0[None], ss], axis=0)      # (Np+1, nz)
+        return Sz, sz
+
+    def solve(self, zeta, u_prev, refhor):
+        """SQP solve (semantics of ``get_mpcInput_nonlinear:1114-1181``)."""
+        ref = _pad_ref(refhor, self.Np, self.nproj)
+        Np, m, n = self.Np, self.m, self.n
+        Zl = jnp.tile(zeta[None, :], (Np, 1))
+        Ul = jnp.tile(u_prev[None, :], (Np, 1))
+        U, ok = None, None
+        for _ in range(self.cfg.sqp_iters):
+            Sz, sz = self._condense(Zl, Ul, zeta)
+            # predicted tracked outputs: y_k = Cz zeta_k[:n]
+            Sy = jnp.einsum("pi,kij->kpj", self.Cz, Sz[:, : n, :]) \
+                .reshape((Np + 1) * self.nproj, Np * m)
+            sy = (sz[:, : n] @ self.Cz.T).reshape(-1)
+            H = Sy.T @ (self.Qd[:, None] * Sy) + jnp.diag(self.Rd)
+            f = 2.0 * Sy.T @ (self.Qd * (sy - ref.reshape(-1)))
+            # state bounds act on stacked zeta[:n]
+            Zn = Sz[:, : n, :].reshape((Np + 1) * n, Np * m)
+            zn = sz[:, : n].reshape(-1)
+            L = jnp.concatenate([self.Fj, self.E @ Zn], axis=0)
+            b = jnp.concatenate(
+                [self.cFj, self.cE - self.E @ zn])
+            Pz, fz, Az, bz = self._eliminate_u0(2.0 * H, f, L, b, u_prev)
+            sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters)
+            U, ok = self._assemble_U(u_prev, sol.x), sol.ok
+            # nonlinear re-rollout for the next SQP pass
+            def roll(zc, u):
+                z1 = self.F_fn(zc, u)
+                return z1, zc
+            _, Zl = jax.lax.scan(roll, zeta, U)
+            Ul = U
+        return U, ok
+
+
+def make_kmpc(model, scaler, cfg: MpcConfig):
+    """Controller factory following the reference's dispatch (``Kmpc.m:85-103``)."""
+    mt = model.meta.model_type
+    mpc_type = cfg.mpc_type or ("nonlinear" if mt == "nonlinear" else "linear")
+    if mt == "linear" and mpc_type == "linear":
+        return LinearKmpc(model, scaler, cfg)
+    if mt == "bilinear" and mpc_type == "linear":
+        return BilinearKmpc(model, scaler, cfg)
+    if mt == "bilinear" and mpc_type == "nonlinear":
+        return NonlinearKmpc(model, scaler, cfg)
+    if mt == "nonlinear":
+        return NonlinearKmpc(model, scaler, cfg)
+    raise ValueError(f"{mt} model is incompatible with mpc_type {mpc_type}")

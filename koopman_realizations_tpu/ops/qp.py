@@ -1,0 +1,138 @@
+"""Batched dense QP solver (replaces MATLAB ``quadprog``/Gurobi).
+
+Solves   min_x  1/2 x^T P x + q^T x   s.t.  A x <= b
+
+with a Mehrotra predictor-corrector primal-dual interior-point method run for
+a FIXED number of iterations -- no data-dependent control flow, so the whole
+solve jits into the closed-loop scan and batches over thousands of scenarios
+with vmap (decision dims here are tiny: m*Np ~ 30, constraint rows ~100, so
+each iteration is one small Cholesky the MXU eats for free).
+
+The reference calls ``quadprog(2H, f, A, b)`` per control step
+(``Kmpc.get_mpcInput:383``, ``:810``, ``:883``); infeasible solves there
+return NaN and Ksim breaks the loop (``Ksim.m:220-222``).  Here infeasible /
+diverged lanes are flagged in the returned ``ok`` mask instead of crashing,
+so one bad scenario cannot kill a 10k-lane batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QPSolution(NamedTuple):
+    x: jnp.ndarray       # primal solution
+    lam: jnp.ndarray     # inequality multipliers
+    ok: jnp.ndarray      # scalar bool: converged + finite
+    gap: jnp.ndarray     # final complementarity gap
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def solve_qp(P, q, A, b, iters: int = 25) -> QPSolution:
+    """Interior-point solve of min 1/2 x'Px + q'x s.t. Ax <= b.
+
+    P must be symmetric PSD (the MPC Hessian is PSD by construction; a small
+    primal regularization is added for the semidefinite case).
+    """
+    P = jnp.asarray(P)
+    q = jnp.asarray(q)
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    n = q.shape[-1]
+    mc = b.shape[-1]
+    dtype = P.dtype
+
+    # primal regularization: keeps the Newton system SPD when P is singular
+    scale = jnp.maximum(jnp.max(jnp.abs(P)), 1.0)
+    reg = (1e-11 if dtype == jnp.float64 else 1e-7) * scale
+    Pr = P + reg * jnp.eye(n, dtype=dtype)
+
+    x0 = jnp.zeros((n,), dtype)
+    s0 = jnp.maximum(b - A @ x0, 1.0)
+    lam0 = jnp.ones((mc,), dtype)
+
+    def newton_rhs(x, s, lam, r_slam):
+        r_d = Pr @ x + q + A.T @ lam
+        r_p = A @ x + s - b
+        D = jnp.clip(lam / s, 1e-14, 1e14)
+        M = Pr + (A.T * D) @ A
+        L = jnp.linalg.cholesky(M)
+        rhs = -r_d - A.T @ ((-r_slam + lam * r_p) / s)
+        dx = jax.scipy.linalg.cho_solve((L, True), rhs)
+        ds = -r_p - A @ dx
+        dlam = (-r_slam - lam * ds) / s
+        return dx, ds, dlam
+
+    def max_step(v, dv):
+        # largest alpha in (0,1] with v + alpha dv >= (1-tau) v
+        ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+        return jnp.minimum(1.0, 0.99 * jnp.min(ratio))
+
+    # once the gap is at the numerical floor, further Newton systems go
+    # singular (s*lam denormal) -- freeze converged iterates instead.
+    mu_floor = (1e-13 if dtype == jnp.float64 else 1e-8) * scale
+
+    def body(carry, _):
+        x, s, lam = carry
+        mu = (s @ lam) / mc
+        r_p_norm = jnp.max(jnp.abs(A @ x + s - b))
+        active = (mu > mu_floor) | (r_p_norm > mu_floor)
+
+        # affine (predictor) direction
+        r_slam_aff = s * lam
+        dx_a, ds_a, dlam_a = newton_rhs(x, s, lam, r_slam_aff)
+        alpha_a = jnp.minimum(max_step(s, ds_a), max_step(lam, dlam_a))
+        mu_aff = ((s + alpha_a * ds_a) @ (lam + alpha_a * dlam_a)) / mc
+        sigma = (mu_aff / (mu + 1e-30)) ** 3
+
+        # corrector direction
+        r_slam = s * lam + ds_a * dlam_a - sigma * mu
+        dx, ds, dlam = newton_rhs(x, s, lam, r_slam)
+        alpha = jnp.where(active,
+                          jnp.minimum(max_step(s, ds), max_step(lam, dlam)), 0.0)
+        step = lambda v, dv: jnp.where(jnp.isfinite(dv), v + alpha * dv, v)
+        return (step(x, dx), step(s, ds), step(lam, dlam)), None
+
+    (x, s, lam), _ = jax.lax.scan(body, (x0, s0, lam0), None, length=iters)
+
+    gap = (s @ lam) / mc
+    r_p = jnp.max(jnp.maximum(A @ x - b, 0.0))
+    finite = jnp.all(jnp.isfinite(x))
+    tol = 1e-6 if dtype == jnp.float64 else 1e-3
+    ok = finite & (gap < tol * scale) & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b)), 1.0))
+    x = jnp.where(finite, x, jnp.nan)
+    return QPSolution(x=x, lam=lam, ok=ok, gap=gap)
+
+
+def solve_qp_batch(P, q, A, b, iters: int = 25) -> QPSolution:
+    """vmapped solve over leading batch axes of (P, q, A, b)."""
+    return jax.vmap(lambda Pi, qi, Ai, bi: solve_qp(Pi, qi, Ai, bi, iters=iters))(
+        P, q, A, b)
+
+
+def solve_qp_eq(P, q, A, b, E, d, iters: int = 25):
+    """QP with additional equality constraints E x = d.
+
+    Handled by null-space elimination: x = x_p + Z v with E x_p = d and
+    Z = null(E); the reduced problem is an inequality-only QP in v.
+    Shapes must be static; E is assumed full row rank.
+    """
+    P = jnp.asarray(P); q = jnp.asarray(q)
+    A = jnp.asarray(A); b = jnp.asarray(b)
+    E = jnp.asarray(E); d = jnp.asarray(d)
+    ne, n = E.shape
+    # QR-based particular solution and null-space basis
+    Qf, Rf = jnp.linalg.qr(E.T, mode="complete")
+    R1 = Rf[:ne, :ne]
+    x_p = Qf[:, :ne] @ jax.scipy.linalg.solve_triangular(R1.T, d, lower=True)
+    Z = Qf[:, ne:]
+    Pz = Z.T @ P @ Z
+    qz = Z.T @ (q + P @ x_p)
+    Az = A @ Z
+    bz = b - A @ x_p
+    sol = solve_qp(Pz, qz, Az, bz, iters=iters)
+    return QPSolution(x=x_p + Z @ sol.x, lam=sol.lam, ok=sol.ok, gap=sol.gap)

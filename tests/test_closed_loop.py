@@ -1,0 +1,95 @@
+"""End-to-end closed-loop MPC tests vs the reference's golden result structs."""
+
+import numpy as np
+import pytest
+
+from koopman_realizations_tpu.config import ArmConfig, MpcConfig, SysidConfig
+from koopman_realizations_tpu.control import Ksim, make_kmpc
+from koopman_realizations_tpu.models.arm import Arm
+from koopman_realizations_tpu.models.edmd import Ksysid
+from koopman_realizations_tpu.utils.matio import load_sim_results
+
+GOLD = ("/root/reference/systems/thesis-arm-markers_noload_3-mods_1-links_20hz/"
+        "simulations/blockM_c0p45-0p35_0p5x0p5_15sec/")
+
+
+def example_control_cfg():
+    """MPC knobs of ``example_control.m:19-53``."""
+    return MpcConfig(
+        horizon=10,
+        input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
+        input_slopeConst=1e-1,
+        cost_running=10.0,
+        cost_terminal=100.0,
+        cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2),
+        proj_idx=(4, 5),         # projmtx = C(end-1:end,:): end effector
+    )
+
+
+def shipped_arm():
+    return Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1, output_type="markers",
+                         substeps=5))
+
+
+def train(arm_dataset, model_type):
+    cfg = SysidConfig(model_type=model_type, obs_type=("poly",), obs_degree=(3,),
+                      dim_red=True)
+    return Ksysid(arm_dataset, cfg).train_models()
+
+
+@pytest.fixture(scope="module")
+def blockM(blockM_ref):
+    return blockM_ref
+
+
+def test_linear_kmpc_blockM(arm_dataset, blockM):
+    ks = train(arm_dataset, "linear")
+    sim = Ksim(shipped_arm(), make_kmpc(ks.model, ks.scaler, example_control_cfg()))
+    res = sim.run_trial_mpc(blockM["y"])
+    gold = load_sim_results(GOLD + "linear_poly-3_n-6_m-3_del-0_2020-06-09_16-42.mat")
+    assert res["alive"].all()
+    # goal is match-or-beat: golden linear K-MPC mean err is 0.743
+    assert res["err"].mean() <= gold["err"].mean() * 1.05
+    assert res["err"].shape[0] == 300
+
+
+def test_bilinear_kmpc_blockM(arm_dataset, blockM):
+    ks = train(arm_dataset, "bilinear")
+    sim = Ksim(shipped_arm(), make_kmpc(ks.model, ks.scaler, example_control_cfg()))
+    res = sim.run_trial_mpc(blockM["y"])
+    gold = load_sim_results(GOLD + "bilinear_poly-3_n-6_m-3_del-0_2020-06-09_16-43.mat")
+    assert res["alive"].all()
+    # golden bilinear: mean 0.0203 / max 0.0992
+    assert res["err"].mean() <= gold["err"].mean() * 1.10
+    assert res["err"].max() <= gold["err"].max() * 1.10
+
+
+def test_nonlinear_kmpc_blockM(arm_dataset, blockM):
+    ks = train(arm_dataset, "nonlinear")
+    sim = Ksim(shipped_arm(), make_kmpc(ks.model, ks.scaler, example_control_cfg()))
+    res = sim.run_trial_mpc(blockM["y"], steps=150)
+    gold = load_sim_results(GOLD + "nonlinear_poly-3_n-6_m-3_del-0_2020-06-13_14-10.mat")
+    assert res["alive"].all()
+    # SQP NMPC should land in the bilinear/nonlinear accuracy class (golden
+    # mean 0.0192); generous bound to absorb training nondeterminism
+    assert res["err"].mean() <= 0.06
+
+
+def test_input_bounds_respected(arm_dataset, blockM):
+    ks = train(arm_dataset, "linear")
+    cfg = example_control_cfg()
+    sim = Ksim(shipped_arm(), make_kmpc(ks.model, ks.scaler, cfg))
+    res = sim.run_trial_mpc(blockM["y"], steps=100)
+    assert np.abs(res["U"]).max() <= 7 * np.pi / 8 + 1e-6
+
+
+def test_input_slope_respected(arm_dataset, blockM):
+    ks = train(arm_dataset, "linear")
+    sim = Ksim(shipped_arm(), make_kmpc(ks.model, ks.scaler, example_control_cfg()))
+    res = sim.run_trial_mpc(blockM["y"], steps=100)
+    # scaled slope limit: slopeConst * mean(u_factor), unscale per-dim
+    lim_sc = 1e-1 * float(np.mean(sim.scaler.u_factor))
+    du_sc = np.abs(np.diff(np.asarray(sim.scaler.u_down(res["U"])), axis=0))
+    # plan-vs-applied offsets make exact bound apply to within-plan steps;
+    # applied inputs may differ slightly step to step, allow small slack
+    assert du_sc.max() <= 2 * lim_sc + 1e-6
