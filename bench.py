@@ -1,0 +1,99 @@
+"""Benchmark: batched closed-loop Koopman-MPC throughput on one chip.
+
+Pipeline: train the paper's bilinear realization (poly-3, dim-reduced) from
+the shipped arm datafile on the host CPU, then run a batch of closed-loop
+20 Hz MPC scenarios (lift -> condensed QP via interior point -> SDIRK2 plant
+step, all one fused scan) on the accelerator and measure MPC steps/s.
+
+Baseline: the reference's K-BMPC solves one 50 ms control step in 9.6 ms of
+MATLAB quadprog time (BASELINE.md) => ~104 closed-loop MPC steps/s on a
+desktop CPU.  vs_baseline = our steps/s / 104.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_S = 1.0 / 0.0096   # reference bilinear comp_time mean
+
+DATAFILE = "/root/reference/datafiles/arm-3link-markers-noload-50trials_train-10_val-5.mat"
+REFTRAJ = "/root/reference/trajectories/files/blockM_c0p45-0p35_0p5x0p5_15sec.mat"
+
+
+def main():
+    import jax
+
+    from koopman_realizations_tpu.config import ArmConfig, MpcConfig, SysidConfig
+    from koopman_realizations_tpu.control import Ksim, make_kmpc
+    from koopman_realizations_tpu.models.arm import Arm
+    from koopman_realizations_tpu.models.edmd import Ksysid
+    from koopman_realizations_tpu.utils.matio import load_data4sysid, load_ref_trajectory
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+
+    ds = load_data4sysid(DATAFILE)
+    ref = load_ref_trajectory(REFTRAJ)
+
+    # train on host CPU (one-time; f32 is fine for the rollout benchmark)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        ks = Ksysid(ds, SysidConfig(model_type="bilinear", obs_type=("poly",),
+                                    obs_degree=(3,), dim_red=True,
+                                    dtype="float32")).train_models()
+
+    mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
+        horizon=10,
+        input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
+        input_slopeConst=1e-1,
+        cost_running=10.0, cost_terminal=100.0,
+        cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2),
+        proj_idx=(4, 5),
+    ))
+    arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
+                        output_type="markers", substeps=5))
+    sim = Ksim(arm, mpc)
+
+    X0 = np.zeros((batch, 6), np.float32)
+    X0[:, 0] = np.linspace(-0.2, 0.2, batch)
+    W = np.zeros((batch, 2), np.float32)
+
+    runner = sim.batched_runner(ref["y"], steps=steps)
+    # warmup / compile
+    out = runner(X0, W)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = jax.block_until_ready(runner(X0, W))
+    dt = (time.perf_counter() - t0) / reps
+
+    alive_frac = float(np.asarray(out["alive"])[:, -1].mean())
+    mpc_steps = batch * (steps - 1)
+    steps_per_s = mpc_steps / dt
+    realtime_sims_20hz = steps_per_s / 20.0
+
+    result = {
+        "metric": "kmpc_bilinear_closed_loop_steps_per_s_per_chip",
+        "value": round(steps_per_s, 1),
+        "unit": "mpc_steps/s",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
+        "detail": {
+            "batch": batch, "steps": steps, "wall_s": round(dt, 4),
+            "equivalent_realtime_20hz_sims": round(realtime_sims_20hz, 1),
+            "alive_fraction": alive_frac,
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

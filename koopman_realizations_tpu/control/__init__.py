@@ -5,3 +5,4 @@ from koopman_realizations_tpu.control.kmpc import (  # noqa: F401
     make_kmpc,
 )
 from koopman_realizations_tpu.control.ksim import Ksim  # noqa: F401
+from koopman_realizations_tpu.control.observer import make_load_observer  # noqa: F401

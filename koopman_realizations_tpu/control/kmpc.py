@@ -181,6 +181,11 @@ class _KmpcBase:
     def _assemble_U(self, u0, z):
         return jnp.concatenate([u0, z]).reshape(self.Np, self.m)
 
+    def _warm_start(self, u0):
+        """Feasible primal start: hold u0 across the horizon (satisfies the
+        bound/slope/smooth rows by construction)."""
+        return jnp.tile(u0, self.Np - 1)
+
 
 class LinearKmpc(_KmpcBase):
     """Linear-model MPC with fully static condensed matrices."""
@@ -234,7 +239,8 @@ class LinearKmpc(_KmpcBase):
         P = 2.0 * self.H
         b = self.c - self.Mc @ z
         Pz, fz, Az, bz = self._eliminate_u0(P, f, self.L, b, u_prev)
-        sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters)
+        sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
+                       x0=self._warm_start(u_prev))
         return self._assemble_U(u_prev, sol.x), sol.ok
 
 
@@ -308,7 +314,8 @@ class BilinearKmpc(_KmpcBase):
         for it in range(iters):
             P, f, L, b = self._qp_data(z, zhor, Yr)
             Pz, fz, Az, bz = self._eliminate_u0(P, f, L, b, u_prev)
-            sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters)
+            sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
+                           x0=self._warm_start(u_prev))
             U, ok = self._assemble_U(u_prev, sol.x), sol.ok
             if it + 1 == iters:
                 break
@@ -411,7 +418,8 @@ class NonlinearKmpc(_KmpcBase):
             b = jnp.concatenate(
                 [self.cFj, self.cE - self.E @ zn])
             Pz, fz, Az, bz = self._eliminate_u0(2.0 * H, f, L, b, u_prev)
-            sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters)
+            sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
+                           x0=self._warm_start(u_prev))
             U, ok = self._assemble_U(u_prev, sol.x), sol.ok
             # nonlinear re-rollout for the next SQP pass
             def roll(zc, u):

@@ -13,16 +13,14 @@ Reference bookkeeping quirks reproduced for golden-file parity:
 - the applied input each step is the *second* row of the MPC plan
   (``Ksim.m:225``),
 - the recorded reference row at step k is ``ref[k-1]`` (``Ksim.m:254``), so
-  the error trace compares ``Y[k]`` with ``ref[k-1]``.
+  the error trace compares ``Y[k]`` with ``ref[k-1]``,
 - infeasible solves: the reference breaks the loop (``:220-222``); here the
   lane freezes and reports ``alive=False`` from that step on.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +40,12 @@ class Ksim:
         self.observer = observer     # optional load observer (control.observer)
         self.meta = mpc.meta
         self.nd = self.meta.nd
+        # trailing-window length: delays need nd+1 rows, the load observer
+        # needs load_obs_horizon+1 rows of past measurements
+        self.win = self.nd + 1
+        if observer is not None:
+            self.win = max(self.win, mpc.cfg.load_obs_horizon + 1)
+        self._runner_cache = {}      # (ref id, steps) -> jitted batch runner
 
     # ------------------------------------------------------------------
     def _lift_current(self, zeta, what):
@@ -53,11 +57,11 @@ class Ksim:
             return basis.lift_loaded(zeta, what)
         return basis.lift(zeta)
 
-    def step_fn(self, ref_padded, w_seq):
-        """Build the jittable scan body closed over the reference and loads.
+    def make_body(self, ref_padded):
+        """Jittable scan body closed over the (device-constant) reference.
 
-        ref_padded: (K + Np + 1, nproj) scaled reference with the last row
-        repeated; w_seq: (K, nw_plant) true load per step (zeros if none).
+        carry = (x, ywin, uwin, u_prev, what, alive); xs = (k, w_k) with k
+        the reference index and w_k the true load applied this step.
         """
         mpc = self.mpc
         plant = self.plant
@@ -65,8 +69,10 @@ class Ksim:
         nd = self.nd
         Np = mpc.Np
         nproj = mpc.nproj
+        ref_padded = jnp.asarray(ref_padded)
 
-        def body(carry, k):
+        def body(carry, xs):
+            k, w_k = xs
             x, ywin, uwin, u_prev, what, alive = carry
 
             # zeta from the trailing windows (newest last)
@@ -82,14 +88,12 @@ class Ksim:
                 what = self.observer(k, ywin, uwin, what)
 
             z = self._lift_current(zeta, what)
-            refhor = jax.lax.dynamic_slice(
-                ref_padded, (k, 0), (Np + 1, nproj))
+            refhor = jax.lax.dynamic_slice(ref_padded, (k, 0), (Np + 1, nproj))
             U, ok = mpc.solve(z, uwin[-1], refhor)
             u_next_sc = U[1]
             u_next = scaler.u_up(u_next_sc)
 
             # plant step with the previously chosen input (Ksim.m:239-246)
-            w_k = w_seq[k]
             x_new = plant.simulate_Ts(x, u_prev, w_k)
             y_new = plant.get_y(x_new)
 
@@ -103,12 +107,11 @@ class Ksim:
             uwin1 = keep(jnp.concatenate([uwin[1:], u_next_sc[None]]), uwin)
             u_prev1 = keep(u_next, u_prev)
 
-            ref_rec = refhor[0]
             out = {
                 "U": keep(u_next, jnp.nan * u_next),
                 "Y": y1,
                 "X": x1,
-                "R": scaler.ref_up(ref_rec, mpc.proj_idx),
+                "R": scaler.ref_up(refhor[0], mpc.proj_idx),
                 "Z": z,
                 "what": what,
                 "alive": alive,
@@ -117,51 +120,53 @@ class Ksim:
 
         return body
 
+    # ---------------------------------------------------------- host prep
+
+    def prep_ref(self, ref) -> np.ndarray:
+        """Scale the reference down and pad Np+1 repeats of the last row."""
+        ref_sc = np.asarray(self.scaler.ref_down(ref, self.mpc.proj_idx), float)
+        return np.concatenate(
+            [ref_sc, np.tile(ref_sc[-1:], (self.mpc.Np + 1, 1))], axis=0)
+
+    def init_carry(self, x0=None, u0=None, dtype=jnp.float64):
+        plant, scaler, nd = self.plant, self.scaler, self.nd
+        if not jax.config.jax_enable_x64:
+            dtype = jnp.float32
+        x0 = np.zeros(plant.cfg.nx) if x0 is None else np.asarray(x0, float)
+        u0 = np.zeros(self.meta.m) if u0 is None else np.asarray(u0, float)
+        y0 = np.asarray(plant.get_y(jnp.asarray(x0)))
+        ywin0 = jnp.tile(jnp.asarray(scaler.y_down(y0), dtype)[None], (self.win, 1))
+        uwin0 = jnp.tile(jnp.asarray(scaler.u_down(u0), dtype)[None], (self.win, 1))
+        what0 = jnp.zeros((self.meta.nw,), dtype)
+        return (jnp.asarray(x0, dtype), ywin0, uwin0, jnp.asarray(u0, dtype),
+                what0, jnp.asarray(True))
+
+    def _w_seq(self, load, K) -> np.ndarray:
+        if load is None:
+            return np.zeros((K, 2))
+        load = np.asarray(load, float)
+        return np.tile(load, (K, 1)) if load.ndim == 1 else load[:K]
+
+    # --------------------------------------------------------- single trial
+
     def run_trial_mpc(self, ref, x0=None, u0=None, load=None,
                       steps: Optional[int] = None) -> dict:
         """Run one closed-loop trial (``Ksim.run_trial_mpc``).
 
-        ref: (K, nproj) UNscaled reference trajectory; x0 (nx,), u0 (m,)
-        initial plant state / input (default zeros); load: None, (nw,), or
-        (K, nw) true load trajectory applied to the plant.
+        ref: (K, nproj) UNscaled reference; x0 (nx,), u0 (m,) initial plant
+        state/input (default zeros); load: None, (nw,), or (K, nw) true load.
         """
-        fn, init, xs = self._build(ref, x0, u0, load, steps)
-        carry, out = jax.lax.scan(fn, init, xs)
-        return self._package(ref, out)
-
-    def _build(self, ref, x0, u0, load, steps):
-        mpc, plant, scaler = self.mpc, self.plant, self.scaler
-        nd, Np = self.nd, mpc.Np
         K = ref.shape[0] if steps is None else steps
-        dtype = jnp.asarray(np.asarray(mpc.model.C)).dtype
+        body = self.make_body(self.prep_ref(ref))
+        init = self.init_carry(x0, u0)
+        ks = jnp.arange(1, K)                 # reference loop: k = 1 .. K-1
+        # iteration k applies load row k-1 (Ksim.m:242: results.W(k,:) with
+        # 1-based k), so rows 0..K-2 align with ks = 1..K-1
+        w_seq = jnp.asarray(self._w_seq(load, K)[:-1], init[0].dtype)
+        _, out = jax.lax.scan(body, init, (ks, w_seq))
+        return self._package(out)
 
-        ref_sc = np.asarray(scaler.ref_down(ref, mpc.proj_idx), float)
-        ref_padded = np.concatenate(
-            [ref_sc, np.tile(ref_sc[-1:], (Np + 1, 1))], axis=0)
-
-        if load is None:
-            w_seq = np.zeros((K, 2))
-        else:
-            load = np.asarray(load, float)
-            w_seq = np.tile(load, (K, 1)) if load.ndim == 1 else load[:K]
-
-        x0 = np.zeros(plant.cfg.nx) if x0 is None else np.asarray(x0, float)
-        u0 = np.zeros(self.meta.m) if u0 is None else np.asarray(u0, float)
-        y0 = np.asarray(plant.get_y(jnp.asarray(x0)))
-
-        ywin0 = jnp.tile(jnp.asarray(scaler.y_down(y0), dtype)[None],
-                         (nd + 1, 1))
-        uwin0 = jnp.tile(jnp.asarray(scaler.u_down(u0), dtype)[None],
-                         (nd + 1, 1))
-        what0 = jnp.zeros((self.meta.nw,), dtype)
-        init = (jnp.asarray(x0, dtype), ywin0, uwin0, jnp.asarray(u0, dtype),
-                what0, jnp.asarray(True))
-        body = self.step_fn(jnp.asarray(ref_padded, dtype),
-                            jnp.asarray(w_seq, dtype))
-        ks = jnp.arange(1, K)     # reference loop runs k = 1 .. K-1
-        return body, init, ks
-
-    def _package(self, ref, out) -> dict:
+    def _package(self, out) -> dict:
         """Assemble the reference's results-struct schema (``Ksim.m:129-258``)."""
         Y = np.asarray(out["Y"])
         R = np.asarray(out["R"])
@@ -182,37 +187,40 @@ class Ksim:
 
     # ------------------------------------------------------ batched variant
 
-    def run_batch(self, ref, X0, U0=None, load=None, steps=None) -> dict:
-        """vmap the whole closed loop over scenario axis 0 of X0 (and load).
-
-        All scenarios share the reference trajectory; X0: (B, nx);
-        load: optional (B, nw).  Returns stacked results (leading axis B).
+    def batched_runner(self, ref, steps: Optional[int] = None):
+        """Return (fn, ks, w_default) where fn(x0_batch, w_batch) scans the
+        closed loop vmapped over scenario lanes.  fn is jit-compiled once and
+        reusable; pair with ``parallel.scenarios.shard_scenarios`` to spread
+        lanes over a device mesh.
         """
-        body, init, xs = self._build(ref, None, U0, None, steps)
-        K = xs.shape[0] + 1
+        K = ref.shape[0] if steps is None else steps
+        body = self.make_body(self.prep_ref(ref))
+        init0 = self.init_carry()
+        ks = jnp.arange(1, K)
 
         def one(x0, w):
-            w_seq = jnp.tile(w[None, :], (K, 1))
-            fn = self.step_fn(*self._ref_and_w(ref, w_seq, K))
-            x0c = (jnp.asarray(x0),) + init[1:]
-            _, out = jax.lax.scan(fn, x0c, xs)
+            w_seq = jnp.tile(w[None, :], (K - 1, 1))
+            init = (jnp.asarray(x0, init0[0].dtype),) + init0[1:]
+            _, out = jax.lax.scan(body, init, (ks, w_seq))
             return out
 
-        B = X0.shape[0]
-        if load is None:
-            load_b = jnp.zeros((B, 2))
-        else:
-            load_b = jnp.asarray(load)
-        out = jax.jit(jax.vmap(one))(jnp.asarray(X0), load_b)
+        return jax.jit(jax.vmap(one))
+
+    def run_batch(self, ref, X0, load=None, steps: Optional[int] = None) -> dict:
+        """vmap the whole closed loop over scenario axis 0 of X0.
+
+        All scenarios share the reference; load: optional (B, nw_plant).
+        """
+        key = (id(ref), ref.shape[0] if steps is None else steps)
+        fn = self._runner_cache.get(key)
+        if fn is None:
+            fn = self._runner_cache[key] = self.batched_runner(ref, steps)
+        B = np.asarray(X0).shape[0]
+        load_b = jnp.zeros((B, 2)) if load is None else jnp.asarray(load)
+        out = fn(jnp.asarray(X0), load_b)
         Y = np.asarray(out["Y"])
         R = np.asarray(out["R"])
         err = np.sqrt(((R - Y[..., list(self.mpc.proj_idx)]) ** 2).sum(-1))
         return {"Y": Y, "R": R, "U": np.asarray(out["U"]),
+                "X": np.asarray(out["X"]),
                 "alive": np.asarray(out["alive"]), "err": err}
-
-    def _ref_and_w(self, ref, w_seq, K):
-        mpc, scaler = self.mpc, self.scaler
-        ref_sc = np.asarray(scaler.ref_down(ref, mpc.proj_idx), float)
-        ref_padded = np.concatenate(
-            [ref_sc, np.tile(ref_sc[-1:], (mpc.Np + 1, 1))], axis=0)
-        return jnp.asarray(ref_padded), w_seq

@@ -1,0 +1,96 @@
+"""Load estimation from past measurements (reference ``Kmpc.estimate_load_*``).
+
+The loaded Koopman realization's lifted state is [g; w1 g; ...; w_nw g], so
+over a past horizon the dynamics are linear in [1; w]:
+
+    zeta_{i+1} ~= A_z Omega(zeta_i) [1; w] + B_z u_i      (linear model)
+    zeta_{i+1} ~= (A_z + sum_j u_ij B_zj) Omega(zeta_i) [1; w]   (bilinear)
+
+with Omega(zeta) = kron(I_{nw+1}, g(zeta)) and A_z/B_z the first-nzeta rows
+(``estimate_load_linear:1298-1357``, ``estimate_load_bilinear:1360-1445``).
+The reference solves this with ``lsqlin`` under an equality w0 = 1, a box
+[-1, 1], and -- in the linear variant only -- a debug equality pinning the
+LAST load component to zero (``Kmpc.m:1349``); all reproduced here as a tiny
+box QP (``ops.qp``), evaluated every ``load_obs_period`` steps inside the
+closed-loop scan.
+
+Limitation carried over from the reference: no delay support (nd must be 0).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koopman_realizations_tpu.models.koopman import BilinearModel, LinearModel
+from koopman_realizations_tpu.ops.qp import solve_qp
+
+
+def make_load_observer(model, cfg):
+    """Build observer(k, ywin, uwin, what_prev) -> what (scaled space).
+
+    ywin/uwin are the closed-loop trailing windows (rows oldest..newest,
+    scaled); the last ``load_obs_horizon + 1`` rows feed the regression.
+    Between update steps (k % load_obs_period != 0) the previous estimate is
+    returned unchanged (``Ksim.m:185-193``).
+    """
+    meta = model.meta
+    if meta.nd != 0:
+        raise NotImplementedError("load observer requires delays == 0 "
+                                  "(reference limitation, Kmpc.m:1305)")
+    nw = meta.nw
+    if nw == 0:
+        raise ValueError("model has no loads (nw == 0)")
+    N = meta.N
+    nzeta = meta.nzeta
+    hor = cfg.load_obs_horizon
+    period = max(int(cfg.load_obs_period), 1)
+    basis = model.basis
+    bilinear = isinstance(model, BilinearModel)
+    pin_last = not bilinear            # the linear variant's debug equality
+
+    A3 = jnp.asarray(np.asarray(model.A))[:nzeta].reshape(nzeta, nw + 1, N)
+    if bilinear:
+        B3 = jnp.asarray(np.asarray(model.B))[:nzeta]     # (nzeta, m, NL)
+        B4 = B3.reshape(nzeta, meta.m, nw + 1, N)
+    else:
+        Bz = jnp.asarray(np.asarray(model.B))[:nzeta]     # (nzeta, m)
+
+    nfree = nw - 1 if pin_last else nw
+    box_A = jnp.concatenate([jnp.eye(nfree), -jnp.eye(nfree)], axis=0)
+    box_b = jnp.ones(2 * nfree)
+
+    def estimate(ywin, uwin):
+        zetas = ywin[-(hor + 1):]              # (hor+1, nzeta) since nd==0
+        us = uwin[-(hor + 1):]
+        g = jax.vmap(basis.lift)(zetas[:-1])   # (hor, N)
+        if bilinear:
+            # M_i = A3 + sum_j u_ij B4[:, j]: (hor, nzeta, nw+1, N)
+            M = A3[None] + jnp.einsum("hm,zmwN->hzwN", us[:-1], B4)
+            C = jnp.einsum("hzwN,hN->hzw", M, g)
+            d = zetas[1:]
+        else:
+            C = jnp.einsum("zwN,hN->hzw", A3, g)
+            d = zetas[1:] - us[:-1] @ Bz.T
+        C = C.reshape(hor * nzeta, nw + 1)
+        d = d.reshape(hor * nzeta)
+        # eliminate w0 = 1; optionally pin the last component to 0
+        Cw = C[:, 1: 1 + nfree]
+        resid = d - C[:, 0]
+        P = 2.0 * Cw.T @ Cw + 1e-9 * jnp.eye(nfree, dtype=C.dtype)
+        q = -2.0 * Cw.T @ resid
+        sol = solve_qp(P, q, box_A.astype(C.dtype), box_b.astype(C.dtype),
+                       iters=15)
+        w_free = jnp.where(sol.ok, sol.x, jnp.zeros_like(sol.x))
+        if pin_last:
+            return jnp.concatenate([w_free, jnp.zeros((1,), C.dtype)])
+        return w_free
+
+    def observer(k, ywin, uwin, what_prev):
+        w_new = estimate(ywin, uwin)
+        # warmup: need a full horizon of real data before trusting estimates
+        update = ((k % period) == 0) & (k > hor)
+        return jnp.where(update, w_new, what_prev)
+
+    return observer

@@ -220,6 +220,37 @@ class Arm:
 
     # ------------------------------------------------------ data generation
 
+    def simulate_rampNhold_batch(self, rng: np.random.Generator, tf: float,
+                                 Tramp: float, W: np.ndarray) -> list:
+        """Batched excitation trials: one vmapped scan for all load cases.
+
+        W: (B, 2) load per trial.  Replaces B sequential ode45 runs of the
+        reference's data generation with a single compiled batch -- this is
+        the on-device path used to regenerate training corpora at scale.
+        Returns a list of B sim dicts (same schema as simulate_rampNhold).
+        """
+        import jax
+
+        W = np.asarray(W, float)
+        B = W.shape[0]
+        tables = [self.ramp_and_hold(rng, tf, Tramp) for _ in range(B)]
+        t = tables[0][0]
+        U = np.stack([u for _, u in tables])              # (B, T, nu)
+        x0 = jnp.zeros((B, self.cfg.nx))
+        sim_b = jax.jit(jax.vmap(lambda x, u, w: self.simulate(x, u, w)))
+        X = np.asarray(sim_b(x0, jnp.asarray(U[:, :-1]), jnp.asarray(W)))
+        Y = np.asarray(jax.vmap(self.get_y_batch)(jnp.asarray(X)))
+        out = []
+        for b in range(B):
+            out.append({
+                "t": t, "x": X[b],
+                "alpha": X[b][:, : self.nlinks],
+                "alphadot": X[b][:, self.nlinks:],
+                "y": Y[b], "u": U[b],
+                "w": np.tile(W[b], (len(t), 1)),
+            })
+        return out
+
     def simulate_rampNhold(self, rng: np.random.Generator, tf: float,
                            Tramp: float, w=np.zeros(2)):
         """One excitation trial (``Arm.simulate_rampNhold:866-929``).

@@ -84,8 +84,12 @@ _DP_A = [
     [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
     [35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
 ]
-_DP_B5 = jnp.array([35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0])
-_DP_B4 = jnp.array([5179 / 57600, 0, 7571 / 16695, 393 / 640,
+# numpy (not jnp): module-level device constants would force backend
+# initialization at import time
+import numpy as _np
+
+_DP_B5 = _np.array([35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0])
+_DP_B4 = _np.array([5179 / 57600, 0, 7571 / 16695, 393 / 640,
                     -92097 / 339200, 187 / 2100, 1 / 40])
 
 

@@ -68,8 +68,10 @@ def gram_lstsq(AtA, AtB, ridge: float = 0.0, psum_axis: str | None = None):
 
 
 def ridge_for_dtype(dtype) -> float:
-    """Default normal-equation jitter: 0 in f64, ~1e-6 in f32.
+    """Default normal-equation jitter: ~1e-12 in f64, ~1e-6 in f32.
 
-    Mirrors the reference's PSD repair of PxTPx (``Ksysid.m:1117-1120``).
+    Mirrors the reference's PSD repair of PxTPx (``Ksysid.m:1117-1120``);
+    dictionary Gram matrices are often singular, so even the f64 path keeps a
+    tiny ridge to make the Cholesky well-defined.
     """
-    return 0.0 if jnp.dtype(dtype) == jnp.float64 else 1e-6
+    return 1e-12 if jnp.dtype(dtype) == jnp.float64 else 1e-6

@@ -1,0 +1,86 @@
+"""Loaded-system pipeline: data gen with loads -> loaded model -> observer.
+
+The reference's loaded experiments (circle trajectory, end-effector mass +
+tilted gravity, ``BASELINE.md`` row 5) used a training set that is not
+shipped, so this test regenerates a loaded dataset with the JAX arm and
+checks the qualitative golden result: the load observer recovers the true
+load and improves closed-loop tracking under load.
+"""
+
+import numpy as np
+import pytest
+
+from koopman_realizations_tpu.config import ArmConfig, MpcConfig, SysidConfig
+from koopman_realizations_tpu.control import Ksim, make_kmpc, make_load_observer
+from koopman_realizations_tpu.models.arm import Arm
+from koopman_realizations_tpu.models.edmd import Ksysid
+from koopman_realizations_tpu.types import DataSet, Trial
+from koopman_realizations_tpu.utils.trajectories import get_circle, make_trajectory
+
+
+@pytest.fixture(scope="module")
+def loaded_setup():
+    arm = Arm(ArmConfig(Nmods=2, nlinks=1, L=1.0, m=0.1, output_type="markers",
+                        substeps=5))
+    rng = np.random.default_rng(7)
+    # dense load-grid excitation: sparse grids leave the loaded operator
+    # unstable in open loop (rho(A) > 1)
+    loads = [(a, b) for a in (0.0, 0.33, 0.66, 1.0)
+             for b in (-1.0, -0.33, 0.33, 1.0)]
+    sims = arm.simulate_rampNhold_batch(rng, tf=30.0, Tramp=2.0,
+                                        W=np.asarray(loads))
+    trials = [Trial(t=s["t"], y=s["y"], u=s["u"], x=s["x"], w=s["w"])
+              for s in sims]
+    ds = DataSet(train=trials[:-1], val=trials[-1:], params={"sysName": "test"})
+    ks = Ksysid(ds, SysidConfig(model_type="bilinear", obs_type=("poly",),
+                                obs_degree=(2,), loaded=True, dim_red=True)
+                ).train_models()
+    return arm, ks
+
+
+def _mpc_cfg():
+    return MpcConfig(horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
+                     input_slopeConst=1e-1, cost_running=10.0,
+                     cost_terminal=100.0, cost_input=(3e-3, 2e-3),
+                     proj_idx=(2, 3),       # end effector of the 2-module arm
+                     load_obs_horizon=10, load_obs_period=2)
+
+
+def test_loaded_model_validates(loaded_setup):
+    arm, ks = loaded_setup
+    assert ks.nw == 2
+    res = ks.val_model(ks.model, ks.valdata[0])
+    # corner-load open-loop rollout: stable and bounded (the controller only
+    # needs short-horizon accuracy; closed-loop quality is tested below)
+    assert float(res["error"]["euclid_mean"]) < 0.6
+    assert np.isfinite(res["sim"]["y"]).all()
+
+
+def test_observer_recovers_load_and_improves_tracking(loaded_setup):
+    arm, ks = loaded_setup
+    cfg = _mpc_cfg()
+    mpc = make_kmpc(ks.model, ks.scaler, cfg)
+
+    # same convention as the reference's circle_c0-0p7 file: waypoints at
+    # center (0, -0.7) are y-flipped into the arm workspace (y in [0.4, 1.0])
+    circle = get_circle([0.0, -0.7], 0.3)
+    ref = make_trajectory(circle, T=15.0, Ts=0.05, flip_y=True,
+                          preamble_from=(0.0, 1.0))
+
+    true_w = np.array([0.9, -0.6])
+    # without observer: controller assumes zero load
+    sim0 = Ksim(arm, mpc)
+    res0 = sim0.run_trial_mpc(ref["y"], load=true_w)
+
+    obs = make_load_observer(ks.model, cfg)
+    sim1 = Ksim(arm, mpc, observer=obs)
+    res1 = sim1.run_trial_mpc(ref["y"], load=true_w)
+
+    assert res0["alive"].all() and res1["alive"].all()
+    # the estimate is a surrogate load, bounded in [-1, 1] (the reference's
+    # What also differs from the true w -- e.g. [0.76, -0.01] for true [1, 0]
+    # in the shipped circle results); the contract is better tracking:
+    assert np.all(np.abs(res1["What"]) <= 1.0 + 1e-9)
+    assert res1["err"].mean() < res0["err"].mean() * 0.8
+    # absolute quality in the class of the golden loaded results (0.02-0.04)
+    assert res1["err"].mean() < 0.1
