@@ -1,0 +1,193 @@
+"""Model-class comparison over a random-system ensemble.
+
+Re-design of ``evaluate_rand_models.m``: the reference trains
+13 linear + 6 bilinear + 4 nonlinear models for EACH of ~20 scalar systems
+sequentially (460 Ksysid fits, its biggest batch workload).  Here every
+(family, degree) configuration trains ALL systems at once -- scaling,
+snapshot pairing, lifting, the Gram least-squares (or FISTA lasso) solve,
+model extraction, and the validation rollout are all vmapped over the system
+axis, so the whole sweep is ~23 compiled programs instead of 460 MATLAB
+loops.  Sharding the system axis over a mesh (``jax.sharding``) extends this
+across chips; the per-degree problems are tiny (N <= 15).
+
+Error metric matches ``evaluate_rand_models.m:69-75``: mean absolute
+validation error normalized by the zero-response mean |y|.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koopman_realizations_tpu.ops.lasso import lasso_constrained_lstsq
+from koopman_realizations_tpu.ops.lstsq import gram_lstsq, ridge_for_dtype
+from koopman_realizations_tpu.types import DataSet
+
+
+def _stack_ensemble(datasets: List[DataSet]):
+    """Stack per-system train/val arrays: systems must share trial shapes.
+
+    Returns (Ytr [S,R,T], Utr [S,R,T], Yval [S,Tv], Uval [S,Tv]).
+    Scalar systems only (n = m = 1), like the reference's ensemble.
+    """
+    Ytr = np.stack([[np.asarray(tr.y)[:, 0] for tr in ds.train] for ds in datasets])
+    Utr = np.stack([[np.asarray(tr.u)[:, 0] for tr in ds.train] for ds in datasets])
+    Yval = np.stack([np.asarray(ds.val[0].y)[:, 0] for ds in datasets])
+    Uval = np.stack([np.asarray(ds.val[0].u)[:, 0] for ds in datasets])
+    return Ytr, Utr, Yval, Uval
+
+
+def _scale_params(Ytr, Utr):
+    """Per-system [-1,1] scaling factors from merged training data."""
+    y_off = (Ytr.max(axis=(1, 2)) + Ytr.min(axis=(1, 2))) / 2
+    y_fac = (Ytr.max(axis=(1, 2)) - Ytr.min(axis=(1, 2))) / 2
+    u_off = (Utr.max(axis=(1, 2)) + Utr.min(axis=(1, 2))) / 2
+    u_fac = (Utr.max(axis=(1, 2)) - Utr.min(axis=(1, 2))) / 2
+    y_fac = np.where(y_fac == 0, 1.0, y_fac)
+    u_fac = np.where(u_fac == 0, 1.0, u_fac)
+    return y_fac, y_off, u_fac, u_off
+
+
+def _poly1d(x, degree):
+    """[x, x^2, ..., x^degree, 1] -- the scalar poly basis with trailing 1."""
+    pows = jnp.stack([x ** k for k in range(1, degree + 1)] + [jnp.ones_like(x)])
+    return pows
+
+
+@partial(jax.jit, static_argnames=("degree", "family", "lasso", "lasso_iters"))
+def _fit_and_val(Ytr, Utr, Yval, Uval, scale, degree: int, family: str,
+                 lasso: float = np.inf, lasso_iters: int = 500):
+    """Train + validate one (family, degree) config for all systems at once.
+
+    Ytr/Utr: (S, R, T) scaled train trials; Yval/Uval: (S, Tv) scaled val.
+    Returns normed mean validation error per system (S,).
+    """
+    S, R, T = Ytr.shape
+
+    # snapshot pairs within each trial (no cross-trial pairs)
+    a = Ytr[:, :, :-1].reshape(S, -1)          # x_k
+    b = Ytr[:, :, 1:].reshape(S, -1)           # x_{k+1}
+    u = Utr[:, :, :-1].reshape(S, -1)
+
+    def lift(x):                               # (K,) -> (K, d+1)
+        return _poly1d(x, degree).T
+
+    def rows(x, uu):
+        g = lift(x)
+        if family == "linear":
+            return jnp.concatenate([g, uu[:, None]], axis=1)
+        if family == "bilinear":
+            return jnp.concatenate([g, uu[:, None] * g], axis=1)
+        # nonlinear: poly over [x, u] of total degree <= degree:
+        # x^i u^j for 1 <= i+j <= degree, plus constant
+        feats = [x ** i * uu ** j
+                 for tot in range(1, degree + 1)
+                 for i, j in [(tot - k, k) for k in range(tot + 1)]]
+        feats.append(jnp.ones_like(x))
+        return jnp.stack(feats, axis=1)
+
+    def fit_one(ai, bi, ui):
+        Px = rows(ai, ui)
+        Py = rows(bi, ui)
+        if family == "nonlinear" and np.isfinite(lasso):
+            N = degree + 1        # reference budget: lasso * params.N
+            K = lasso_constrained_lstsq(Px, Py, lasso * N, iters=lasso_iters)
+        else:
+            AtA = Px.T @ Px
+            AtB = Px.T @ Py
+            K = gram_lstsq(AtA, AtB, ridge=ridge_for_dtype(Px.dtype))
+        return K
+
+    Kops = jax.vmap(fit_one)(a, b, u)          # (S, Nm, Nm)
+
+    # validation rollout from the first val sample
+    def val_one(Kop, yv, uv):
+        UT = Kop.T
+        if family == "linear":
+            N = degree + 1
+            A = UT[:N, :N]
+            B = UT[:N, N:]
+
+            def step(z, uu):
+                z1 = A @ z + B @ uu[None]
+                return z1, z1[0]
+
+            z0 = _poly1d(yv[0], degree)
+            _, ys = jax.lax.scan(step, z0, uv[:-1])
+        elif family == "bilinear":
+            N = degree + 1
+            A = UT[:N, :N]
+            B = UT[:N, N:]
+
+            def step(z, uu):
+                z1 = A @ z + (B @ z) * uu
+                return z1, z1[0]
+
+            z0 = _poly1d(yv[0], degree)
+            _, ys = jax.lax.scan(step, z0, uv[:-1])
+        else:
+            W = Kop[:, 0]          # predicts next zeta (= x) from features
+
+            def step(x, uu):
+                feats = rows(jnp.asarray([x]), jnp.asarray([uu]))[0]
+                x1 = W @ feats
+                return x1, x1
+
+            _, ys = jax.lax.scan(step, yv[0], uv[:-1])
+        ysim = jnp.concatenate([yv[:1], ys])
+        mean_err = jnp.mean(jnp.abs(ysim - yv))
+        zero_resp = jnp.mean(jnp.abs(yv))
+        return mean_err / zero_resp
+
+    return jax.vmap(val_one)(Kops, Yval, Uval)
+
+
+def evaluate_rand_models(datasets: List[DataSet],
+                         max_degree_linear: int = 13,
+                         max_degree_bilinear: int = 6,
+                         max_degree_nonlinear: int = 4,
+                         nonlinear_lasso: float = 4.0,
+                         lasso_iters: int = 500) -> dict:
+    """Run the full model-class comparison (``evaluate_rand_models.m``).
+
+    Returns {"linear"|"bilinear"|"nonlinear": {"err": (deg, S) normed mean
+    errors, "dims": (deg,) basis-function counts, "median": per-degree median
+    over kept systems}} using the reference's NaN/outlier dropping rule
+    (``evaluate_rand_models.m:148-156``).
+    """
+    Ytr, Utr, Yval, Uval = _stack_ensemble(datasets)
+    y_fac, y_off, u_fac, u_off = _scale_params(Ytr, Utr)
+    Ytr_s = (Ytr - y_off[:, None, None]) / y_fac[:, None, None]
+    Utr_s = (Utr - u_off[:, None, None]) / u_fac[:, None, None]
+    Yval_s = (Yval - y_off[:, None]) / y_fac[:, None]
+    Uval_s = (Uval - u_off[:, None]) / u_fac[:, None]
+    args = [jnp.asarray(v) for v in (Ytr_s, Utr_s, Yval_s, Uval_s)]
+
+    out = {}
+    plans = [
+        ("linear", range(1, max_degree_linear + 1), np.inf,
+         lambda d: d + 1),                     # size(basis.full): [x..x^d, 1]
+        ("bilinear", range(1, max_degree_bilinear + 1), np.inf,
+         lambda d: 2 * (d + 1)),               # full_input rows
+        ("nonlinear", range(1, max_degree_nonlinear + 1), nonlinear_lasso,
+         lambda d: (d + 1) * (d + 2) // 2),    # C(2+d, d) over [x, u]
+    ]
+    for family, degs, lasso, dim_fn in plans:
+        errs = []
+        for d in degs:
+            e = _fit_and_val(*args, scale=None, degree=int(d), family=family,
+                             lasso=float(lasso), lasso_iters=lasso_iters)
+            errs.append(np.asarray(e))
+        err = np.stack(errs)                   # (deg, S)
+        dims = np.asarray([dim_fn(d) for d in degs])
+        # reference post-filter: drop systems with NaN or error > 10
+        keep = np.all(np.isfinite(err), axis=0) & np.all(err < 10, axis=0)
+        out[family] = {"err": err, "dims": dims,
+                       "median": np.median(err[:, keep], axis=1) if keep.any()
+                       else np.full(err.shape[0], np.nan),
+                       "kept": int(keep.sum())}
+    return out

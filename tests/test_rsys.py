@@ -1,0 +1,85 @@
+"""Random-system ensemble generation and the model-class comparison sweep."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from koopman_realizations_tpu.models.rsys import (
+    RsysEnsemble,
+    construct_systems,
+    generate_input_steps,
+    simulate_systems,
+)
+from koopman_realizations_tpu.utils.matio import load_rsys_all
+from koopman_realizations_tpu.workflows import evaluate_rand_models
+
+
+def test_construct_systems_shapes(rng):
+    ens = construct_systems(num_sys=5, num_terms=4, degree_x=3, degree_u=2,
+                            rng=rng)
+    assert ens.coeffs.shape == (5, 4)
+    assert ens.px.max() <= 3 and ens.pu.max() <= 2
+    # vector field is bounded-ish: exp(-x^4) envelope + atan
+    v = float(ens.vf(0, 5.0, 1.0))
+    assert abs(v) < np.pi  # exp(-625) kills the polynomial part
+
+
+def test_generate_input_steps(rng):
+    u = generate_input_steps(rng, T=201, num_steps=50)
+    assert u.shape == (201,)
+    # piecewise constant: at most 5 distinct values (incl. trailing zero)
+    assert len(np.unique(u)) <= 6
+    assert np.abs(u).max() <= 1.0
+
+
+def test_simulate_systems_batched(rng):
+    ens = construct_systems(num_sys=3, num_terms=4, degree_x=3, degree_u=1,
+                            rng=rng)
+    datasets = simulate_systems(ens, t_end=5.0, Ts=0.05, num_trials=4, rng=rng)
+    assert len(datasets) == 3
+    assert len(datasets[0].train) == 3 and len(datasets[0].val) == 1
+    y = datasets[0].train[0].y
+    assert y.shape == (101, 1)
+    assert np.all(np.isfinite(y))
+    # boundedness: the exp(-x^4)/-atan(x) construction keeps |x| moderate
+    assert np.abs(y).max() < 5.0
+
+
+@pytest.fixture(scope="module")
+def shipped_rsys():
+    for folder in sorted(glob.glob("/root/reference/datafiles/rand-systems_*")):
+        files = glob.glob(folder + "/rsys-all_*.mat")
+        if files:
+            ds = load_rsys_all(files[0])
+            if len(ds) >= 20:
+                return ds
+    pytest.skip("no shipped rsys-all ensembles found")
+
+
+def test_evaluate_rand_models_on_shipped_data(shipped_rsys):
+    out = evaluate_rand_models(shipped_rsys, max_degree_linear=6,
+                               max_degree_bilinear=3, max_degree_nonlinear=2,
+                               lasso_iters=300)
+    for fam in ("linear", "bilinear", "nonlinear"):
+        o = out[fam]
+        assert o["err"].shape[1] == len(shipped_rsys)
+        assert o["kept"] >= len(shipped_rsys) - 2
+        # the paper's headline trend: error drops as the basis grows
+        assert o["median"][-1] < o["median"][0]
+    # dims follow the reference's basis-count bookkeeping
+    np.testing.assert_array_equal(out["linear"]["dims"], [2, 3, 4, 5, 6, 7])
+    np.testing.assert_array_equal(out["bilinear"]["dims"], [4, 6, 8])
+    np.testing.assert_array_equal(out["nonlinear"]["dims"], [3, 6])
+
+
+def test_evaluate_rand_models_on_generated_data(rng):
+    ens = construct_systems(num_sys=6, num_terms=5, degree_x=3, degree_u=1,
+                            rng=rng)
+    datasets = simulate_systems(ens, t_end=25.0, Ts=0.05, num_trials=6,
+                                rng=rng)
+    out = evaluate_rand_models(datasets, max_degree_linear=4,
+                               max_degree_bilinear=2, max_degree_nonlinear=2,
+                               lasso_iters=300)
+    assert np.isfinite(out["linear"]["median"]).all()
+    assert out["linear"]["median"][-1] < 1.0

@@ -1,0 +1,85 @@
+"""Data wrangling, naming, and checkpoint round-trip tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from koopman_realizations_tpu.config import SysidConfig
+from koopman_realizations_tpu.models.edmd import Ksysid
+from koopman_realizations_tpu.types import DataSet, Trial
+from koopman_realizations_tpu.utils.checkpoint import export_mat, load_model, save_model
+from koopman_realizations_tpu.utils.data import chop, get_data4sysid, merge_files, resample
+from koopman_realizations_tpu.utils.naming import auto_rename, model_classname
+
+
+def _trial(T=100, n=2, m=1, Ts=0.1, seed=0):
+    rng = np.random.default_rng(seed)
+    return Trial(t=np.arange(T) * Ts, y=rng.standard_normal((T, n)),
+                 u=rng.standard_normal((T, m)))
+
+
+def test_resample():
+    tr = _trial(T=101, Ts=0.1)
+    r = resample(tr, 0.05)
+    assert r.t.shape[0] == 201
+    np.testing.assert_allclose(r.y[::2], tr.y, atol=1e-12)
+
+
+def test_chop():
+    tr = _trial(T=100, Ts=0.1)
+    parts = chop(tr, num=4, length_s=2.0)
+    assert len(parts) == 4
+    assert all(p.y.shape[0] == parts[0].y.shape[0] for p in parts)
+    np.testing.assert_allclose(parts[1].y[0], tr.y[int(100 / 4 * 1)])
+
+
+def test_get_data4sysid_and_merge_files():
+    ds1 = get_data4sysid([_trial(seed=1)], [_trial(seed=2)])
+    ds2 = get_data4sysid([_trial(seed=3)], [_trial(seed=4)])
+    merged = merge_files([ds1, ds2])
+    assert len(merged.train) == 2 and len(merged.val) == 2
+
+
+def test_auto_rename(tmp_path):
+    p = tmp_path / "model.npz"
+    p.write_text("x")
+    p2 = auto_rename(str(p))
+    assert p2.endswith("model (2).npz")
+    open(p2, "w").write("y")
+    assert auto_rename(str(p)).endswith("model (3).npz")
+
+
+def test_model_classname():
+    name = model_classname("bilinear", "poly", 3, 6, 3, 0, timestamp="T")
+    assert name == "bilinear_poly-3_n-6_m-3_del-0_T"
+
+
+@pytest.mark.parametrize("model_type", ["linear", "bilinear", "nonlinear"])
+def test_checkpoint_roundtrip(tmp_path, arm_dataset, model_type):
+    cfg = SysidConfig(model_type=model_type, obs_type=("poly",),
+                      obs_degree=(2,), dim_red=True)
+    ks = Ksysid(arm_dataset, cfg).train_models()
+    path = save_model(str(tmp_path / "mdl"), ks.model, scaler=ks.scaler)
+    model2, scaler2 = load_model(path)
+    # rollout parity through the reloaded model
+    r1 = ks.val_model(ks.model, ks.valdata[0])
+    r2 = ks.val_model(model2, ks.valdata[0])
+    np.testing.assert_allclose(r1["sim"]["y"], r2["sim"]["y"], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(scaler2.y_factor),
+                               np.asarray(ks.scaler.y_factor))
+
+
+def test_export_mat_layout(tmp_path, arm_dataset):
+    import scipy.io as sio
+
+    cfg = SysidConfig(model_type="bilinear", obs_type=("poly",),
+                      obs_degree=(2,), dim_red=True)
+    ks = Ksysid(arm_dataset, cfg).train_models()
+    path = export_mat(str(tmp_path / "mdl"), ks.model)
+    d = sio.loadmat(path, squeeze_me=True, struct_as_record=False)["model"]
+    NL = ks.model.meta.NL
+    assert d.A.shape == (NL, NL)
+    assert d.B.shape == (NL, ks.model.meta.m * NL)
+    # column-block k of B equals the stored (NL, m, NL) slice [:, k, :]
+    np.testing.assert_allclose(d.B[:, :NL], np.asarray(ks.model.B)[:, 0, :])
