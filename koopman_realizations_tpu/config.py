@@ -72,7 +72,7 @@ class MpcConfig:
     # end effector; here we give the row indices into y instead.
     proj_idx: Optional[Tuple[int, ...]] = None
     # solver knobs (no reference counterpart: quadprog/fmincon internals)
-    qp_iters: int = 25                   # interior-point iterations
+    qp_iters: int = 12                   # interior-point iterations
     sqp_iters: int = 5                   # SQP relinearization passes (NMPC)
     dtype: str = "float32"
 

@@ -52,6 +52,11 @@ def input_constraint_rows(cfg: MpcConfig, m: int, Np: int, scaler):
     vacuous and break interior-point slacks).
     Blocks: input bounds (``Kmpc.m:230-253``), slope (``:256-277``),
     smoothness (``:280-297``).
+
+    Bounds start at k=1: u_0 is pinned to the previously applied input by the
+    memory constraint and eliminated from the decision variable, so its bound
+    rows would become all-zero rows of the reduced QP (vacuous, and they
+    poison the interior-point row equilibration).
     """
     F_rows, c_rows = [], []
     if cfg.input_bounds is not None:
@@ -61,7 +66,7 @@ def input_constraint_rows(cfg: MpcConfig, m: int, Np: int, scaler):
         lo = np.asarray(scaler.u_down(ib[:, 0]))
         hi = np.asarray(scaler.u_down(ib[:, 1]))
         eye = np.eye(m)
-        for k in range(Np):
+        for k in range(1, Np):
             sel = np.zeros((m, m * Np))
             sel[:, k * m:(k + 1) * m] = eye
             F_rows += [-sel, sel]
@@ -245,7 +250,14 @@ class LinearKmpc(_KmpcBase):
 
 
 class BilinearKmpc(_KmpcBase):
-    """Bilinear-model MPC: B depends on the current lifted state."""
+    """Bilinear-model MPC: B depends on the current lifted state.
+
+    The reference materializes the full stacked input matrix
+    (NL(Np+1) x mNp, ``get_costB_bilinear:569-596``) per solve; only its
+    projections ever reach the QP, so here the per-solve work is Np small
+    matmuls W_k = A^k Beta(z) followed by tiny projected gathers -- the
+    largest live intermediate is (Np, NL, m).
+    """
 
     def __init__(self, model: BilinearModel, scaler, cfg: MpcConfig):
         super().__init__(model, scaler, cfg)
@@ -255,15 +267,24 @@ class BilinearKmpc(_KmpcBase):
         for _ in range(Np):
             powers.append(powers[-1] @ A)
         self.powers = jnp.asarray(np.stack(powers))              # (Np+1, NL, NL)
-        self.Abig = jnp.asarray(np.concatenate(powers, axis=0))
         self.Cproj = jnp.asarray(self.projmtx)
-        E, cE = state_constraint_rows(cfg, self.n, NL, Np, scaler)
-        self.E = jnp.asarray(E)
-        self.cE = jnp.asarray(cE)
+        # projected powers: PA[k] = Cproj A^k, EA[k] = (A^k)[:n] -- the only
+        # views of A^k the condensed QP ever needs
+        self.PA = jnp.asarray(np.stack([self.projmtx @ p for p in powers]))
+        self.EA = jnp.asarray(np.stack([p[: self.n] for p in powers]))
         self.Fj = jnp.asarray(self.F)
         self.cFj = jnp.asarray(self.cF)
         self.Qd = jnp.asarray(self.q_diag)
         self.Rd = jnp.asarray(self.r_diag)
+        # state bounds in scaled units (structured rows, built on the fly)
+        if cfg.state_bounds is not None:
+            sb = np.asarray(cfg.state_bounds, float)
+            if sb.ndim == 1:
+                sb = np.tile(sb, (self.n, 1))
+            self._sb_lo = jnp.asarray(np.asarray(scaler.y_down(sb[:, 0])))
+            self._sb_hi = jnp.asarray(np.asarray(scaler.y_down(sb[:, 1])))
+        else:
+            self._sb_lo = None
         # block index map i-1-j for the lower-triangular Toeplitz structure
         idx = np.zeros((Np + 1, Np), np.int32)
         valid = np.zeros((Np + 1, Np), bool)
@@ -275,30 +296,39 @@ class BilinearKmpc(_KmpcBase):
         self._tidx = jnp.asarray(idx)
         self._tvalid = jnp.asarray(valid)
 
-    def _Bbig(self, zhor):
-        """Stacked input matrix with Beta evaluated at zhor (``:569-596``).
+    def _block_toeplitz(self, proj_powers, Beta_j):
+        """Blocks (i, j) = proj_powers[i-1-j] @ Beta_j[j], stacked.
 
-        zhor: (Np, NL) lifted-state trajectory (rows may be identical for the
-        single-linearization case).  Block (i, j) = A^(i-1-j) Beta(z_j).
+        proj_powers: (Np+1, r, NL); Beta_j: (Np, NL, m).  Only O(Np^2 r m NL)
+        flops with r in {nproj, n} -- the full NL-sized Toeplitz never exists.
         """
-        Beta_j = jnp.einsum("kmj,pj->pkm", self.model.B, zhor)   # (Np, NL, m)
-        blocks = jnp.einsum("ijkl,jlm->ijkm", self.powers[self._tidx], Beta_j)
-        blocks = jnp.where(self._tvalid[:, :, None, None], blocks, 0.0)
-        # (Np+1, Np, NL, m) -> (NL(Np+1), m Np)
-        return blocks.transpose(0, 2, 1, 3).reshape(
-            (self.Np + 1) * self.NL, self.Np * self.m)
+        g = jnp.einsum("ijrb,jbm->ijrm", proj_powers[self._tidx], Beta_j)
+        g = jnp.where(self._tvalid[:, :, None, None], g, 0.0)
+        r = proj_powers.shape[1]
+        return g.transpose(0, 2, 1, 3).reshape((self.Np + 1) * r,
+                                               self.Np * self.m)
 
     def _qp_data(self, z, zhor, Yr):
-        Bbig = self._Bbig(zhor)
-        CB = jnp.kron(jnp.eye(self.Np + 1, dtype=Bbig.dtype), self.Cproj) @ Bbig
-        CAz = (jnp.kron(jnp.eye(self.Np + 1, dtype=Bbig.dtype), self.Cproj)
-               @ (self.Abig @ z))
+        """Condensed QP pieces about the lifted trajectory zhor (Np, NL)."""
+        Np, n = self.Np, self.n
+        Beta_j = jnp.einsum("kmj,pj->pkm", self.model.B, zhor)   # (Np, NL, m)
+
+        CB = self._block_toeplitz(self.PA, Beta_j)
+        CAz = (self.PA @ z).reshape(-1)
         H = CB.T @ (self.Qd[:, None] * CB) + jnp.diag(self.Rd)
         f = 2.0 * CB.T @ (self.Qd * (CAz - Yr))
-        L = jnp.concatenate([self.Fj, self.E @ Bbig], axis=0)
-        Mz = jnp.concatenate(
-            [jnp.zeros((self.Fj.shape[0],), z.dtype), self.E @ (self.Abig @ z)])
-        b = jnp.concatenate([self.cFj, self.cE]) - Mz
+
+        L = self.Fj
+        b = self.cFj
+        if self._sb_lo is not None:
+            EW = self._block_toeplitz(self.EA, Beta_j)           # ((Np+1)n, mNp)
+            zn = (self.EA @ z).reshape(-1)
+            L = jnp.concatenate([L, -EW, EW], axis=0)
+            b = jnp.concatenate([
+                b,
+                -jnp.tile(self._sb_lo, Np + 1) + zn,
+                jnp.tile(self._sb_hi, Np + 1) - zn,
+            ])
         return 2.0 * H, f, L, b
 
     def solve(self, z, u_prev, refhor, iters: int = 1):

@@ -40,6 +40,19 @@ class Arm:
         self.cfg = cfg
         self.nlinks = cfg.Nlinks
         self._shape_obs_matrix = self._build_shape_obs_matrix()
+        # closed-form inertia coefficients of the uniform planar chain:
+        # in theta coordinates KE = 1/2 sum_{p,q} l^2 (m G[p,q] + w1)
+        # cos(th_p - th_q) thd_p thd_q + 1/2 i sum thd^2, where G counts how
+        # links past max(p,q) couple p and q (a_kp = 1 for k>p, 1/2 for k=p):
+        # G[p,q] = N - max(p,q) + 1/2 (p != q), G[p,p] = N - p + 1/4 (1-based)
+        N = self.nlinks
+        idx = np.arange(1, N + 1)
+        mx = np.maximum(idx[:, None], idx[None, :])
+        G = (N - mx + 0.5).astype(float)
+        np.fill_diagonal(G, N - idx + 0.25)
+        self._G = G
+        # gravity lever coefficients: sum_k a_kj = N - j + 1/2
+        self._b = (N - idx + 0.5).astype(float)
 
     # ---------------------------------------------------------- kinematics
 
@@ -59,7 +72,26 @@ class Arm:
     # ------------------------------------------------------------ dynamics
 
     def mass_matrix(self, alpha, w):
-        """Configuration-dependent mass matrix Dq (``Arm.m:148-151``)."""
+        """Configuration-dependent mass matrix Dq (``Arm.m:148-151``).
+
+        Closed form: Dq = J^T M_theta J with J the lower-triangular ones
+        (theta = J alpha) and M_theta[p,q] = l^2 (m G[p,q] + w1)
+        cos(th_p - th_q) + i delta_pq.  Equivalent to the reference's
+        Jacobian products (cross-validated against the autodiff construction
+        in ``_mass_matrix_autodiff``) at a fraction of the cost -- this sits
+        inside every integrator substep of every simulation lane.
+        """
+        cfg = self.cfg
+        theta = self.alpha2theta(alpha)
+        dth = theta[:, None] - theta[None, :]
+        coef = cfg.l ** 2 * (cfg.m * jnp.asarray(self._G, alpha.dtype) + w[0])
+        M_th = coef * jnp.cos(dth) + cfg.i * jnp.eye(self.nlinks, dtype=alpha.dtype)
+        # Dq = J^T M J with J lower-triangular ones: cumulative sums
+        tmp = jnp.cumsum(M_th[::-1, :], axis=0)[::-1]      # J^T M
+        return jnp.cumsum(tmp[:, ::-1], axis=1)[:, ::-1]   # (J^T M) J
+
+    def _mass_matrix_autodiff(self, alpha, w):
+        """Reference-faithful Jacobian construction (kept for validation)."""
         cfg = self.cfg
 
         def xcm_flat(a):
@@ -83,15 +115,17 @@ class Arm:
         return Dq
 
     def potential_energy(self, alpha, w):
-        """PE with tilted gravity + joint springs (``Arm.m:164-169``)."""
+        """PE with tilted gravity + joint springs (``Arm.m:164-169``).
+
+        Closed form: heights along the tilted gravity direction reduce to
+        cos(theta_j - w2) with static lever coefficients (sum of COM/end-eff
+        contributions per link).
+        """
         cfg = self.cfg
-        joints, coms = self.joint_positions(alpha)
-        gdir = jnp.stack([-jnp.sin(w[1]), jnp.cos(w[1])])
-        h_links = coms @ gdir
-        h_eff = joints[-1] @ gdir
-        return (-cfg.m * cfg.g * jnp.sum(h_links)
-                - w[0] * cfg.g * h_eff
-                + 0.5 * cfg.k * jnp.sum(alpha ** 2))
+        theta = self.alpha2theta(alpha)
+        lever = cfg.m * jnp.asarray(self._b, alpha.dtype) + w[0]
+        h = cfg.l * jnp.sum(lever * jnp.cos(theta - w[1]))
+        return -cfg.g * h + 0.5 * cfg.k * jnp.sum(alpha ** 2)
 
     def input_torque(self, alpha, u):
         """tau = -ku (kron(u, 1_nlinks) - alpha) (``Arm.m:211-213``)."""

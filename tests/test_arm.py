@@ -55,6 +55,20 @@ def test_rk4_unstable_sdirk2_stable(arm_dataset):
     assert np.all(np.isfinite(good)) and np.abs(good).max() < 1e2
 
 
+def test_closed_form_mass_matrix_matches_autodiff():
+    """The trig closed form equals the reference-style Jacobian products."""
+    rng = np.random.default_rng(3)
+    for N, w in [(2, [0.0, 0.0]), (3, [0.9, -0.7]), (5, [1.0, 0.3])]:
+        arm = Arm(ArmConfig(Nmods=N, nlinks=1, L=1.0, m=0.1,
+                            output_type="angles"))
+        for _ in range(5):
+            a = jnp.asarray(rng.uniform(-2, 2, N))
+            wv = jnp.asarray(np.asarray(w))
+            np.testing.assert_allclose(
+                np.asarray(arm.mass_matrix(a, wv)),
+                np.asarray(arm._mass_matrix_autodiff(a, wv)), atol=1e-12)
+
+
 def test_energy_conservation_unforced():
     """With no damping/servo/springs, total energy is conserved."""
     cfg = ArmConfig(Nmods=2, nlinks=1, L=1.0, m=0.1, k=0.0, d=0.0, ku=0.0,
