@@ -30,6 +30,42 @@ from koopman_realizations_tpu.models.koopman import NonlinearModel
 from koopman_realizations_tpu.utils.metrics import tracking_error
 
 
+class KoopmanPlant:
+    """Model-in-the-loop 'plant': propagates the learned lifted model instead
+    of a physical simulator (reference ``Kmpc.run_simulation:403-512``).
+
+    State is the lifted vector z; inputs/outputs cross the scaling boundary
+    exactly like a real plant so the same Ksim harness drives it.
+    """
+
+    def __init__(self, model, scaler):
+        self.model = model
+        self.scaler = scaler
+
+        class _Cfg:
+            nx = model.meta.NL
+
+        self.cfg = _Cfg()
+
+    def simulate_Ts(self, z, u, w=None):
+        u_sc = self.scaler.u_down(jnp.asarray(u))
+        return self.model.step(z, u_sc)
+
+    def get_y(self, z):
+        return self.scaler.y_up(self.model.output(z))
+
+
+def run_model_simulation(mpc, ref, steps: Optional[int] = None,
+                         zeta0=None) -> dict:
+    """Closed loop against the model itself (``Kmpc.run_simulation``)."""
+    plant = KoopmanPlant(mpc.model, mpc.scaler)
+    sim = Ksim(plant, mpc)
+    if zeta0 is None:
+        zeta0 = jnp.zeros((mpc.meta.nzeta,))
+    z0 = mpc.model.basis.lift(jnp.asarray(zeta0))
+    return sim.run_trial_mpc(ref, x0=np.asarray(z0), steps=steps)
+
+
 class Ksim:
     """Closed-loop harness binding a plant, a controller, and scaling."""
 

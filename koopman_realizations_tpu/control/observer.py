@@ -93,4 +93,44 @@ def make_load_observer(model, cfg):
         update = ((k % period) == 0) & (k > hor)
         return jnp.where(update, w_new, what_prev)
 
+    observer.estimate = estimate
+    observer.horizon = hor
     return observer
+
+
+def validate_observer(model, cfg, valtrial, sparse_period: int = 0) -> dict:
+    """Run the observer over an open-loop validation trial.
+
+    Mirrors ``Ksysid.val_observer_load:2033-2076`` (and the sparse variant
+    ``:2079-2139`` when ``sparse_period > 0``, which updates every
+    ``sparse_period`` steps and reports the running mean of all estimates).
+    Returns {what [T, nw], wreal [T, nw], werr [T, nw]} in scaled space.
+    """
+    import numpy as np
+
+    obs = make_load_observer(model, cfg)
+    hor = cfg.load_obs_horizon
+    y = np.asarray(valtrial.y)
+    u = np.asarray(valtrial.u)
+    wreal = np.asarray(valtrial.w)
+    T = y.shape[0]
+    nw = wreal.shape[1]
+    what = np.zeros((T, nw))
+    est_jit = jax.jit(obs.estimate)
+    history = []
+    for i in range(T - 1):
+        if i < hor:
+            what[i + 1] = what[i]
+            continue
+        if sparse_period and (i % sparse_period) != 0:
+            what[i + 1] = what[i]
+            continue
+        ywin = jnp.asarray(y[i - hor: i + 1])
+        uwin = jnp.asarray(u[i - hor: i + 1])
+        w_i = np.asarray(est_jit(ywin, uwin))
+        if sparse_period:
+            history.append(w_i)          # running mean (Ksysid.m:2127-2128)
+            what[i + 1] = np.mean(history, axis=0)
+        else:
+            what[i + 1] = w_i
+    return {"what": what, "wreal": wreal, "werr": np.abs(wreal - what)}

@@ -122,7 +122,53 @@ class NonlinearModel:
         return self.W.T @ g
 
 
+# ---- continuous-time helpers ----------------------------------------------
+
+
+def zoh_discretize(A, B, Ts: float):
+    """Exact zero-order-hold discretization via the augmented exponential.
+
+    expm([[A, B], [0, 0]] * Ts) = [[Ad, Bd], [0, I]].  Used to roll out
+    continuous-time models (the reference integrates them with ode45,
+    ``Ksysid.val_model:1679-1683``; for an LTI system ZOH is exact).
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    n, m = A.shape[0], B.shape[1]
+    aug = jnp.zeros((n + m, n + m), A.dtype)
+    aug = aug.at[:n, :n].set(A * Ts)
+    aug = aug.at[:n, n:].set(B * Ts)
+    E = jax.scipy.linalg.expm(aug)
+    return E[:n, :n], E[:n, n:]
+
+
+def as_discrete(model):
+    """Return a discrete-stepping equivalent of a continuous-time model."""
+    import dataclasses as _dc
+
+    meta = model.meta
+    if meta.time_type != "continuous":
+        return model
+    if isinstance(model, LinearModel):
+        Ad, Bd = zoh_discretize(model.A, model.B, meta.Ts)
+        return _dc.replace(model, A=Ad, B=Bd,
+                           meta=_dc.replace(meta, time_type="discrete"))
+    raise NotImplementedError(
+        "continuous bilinear/nonlinear rollouts integrate with rk4 substeps; "
+        "use rollout(..) directly")
+
+
 # ---- open-loop validation rollouts ----------------------------------------
+
+
+def _maybe_continuous_step(model, meta, substeps: int = 8):
+    """Per-Ts stepper for continuous bilinear/nonlinear models (rk4)."""
+    from koopman_realizations_tpu.ops.integrators import rk4
+
+    def step(z, u):
+        return rk4(lambda zz: model.step(zz, u), z, meta.Ts, substeps)
+
+    return step
 
 
 def rollout_linear(model: LinearModel, z0, U, W=None):
@@ -130,7 +176,9 @@ def rollout_linear(model: LinearModel, z0, U, W=None):
 
     With loads, the lifted state is re-mixed with the true load each step:
     znow = kron(I_{nw+1}, z_N) [1; w]  (``Ksysid.val_model:1667-1671``).
+    Continuous-time models are ZOH-discretized exactly first.
     """
+    model = as_discrete(model)
     meta = model.meta
 
     def remix(z, w):
@@ -156,6 +204,8 @@ def rollout_linear(model: LinearModel, z0, U, W=None):
 
 def rollout_bilinear(model: BilinearModel, z0, U, W=None):
     meta = model.meta
+    stepper = (model.step if meta.time_type == "discrete"
+               else _maybe_continuous_step(model, meta))
 
     def remix(z, w):
         zN = z[: meta.N]
@@ -165,11 +215,11 @@ def rollout_bilinear(model: BilinearModel, z0, U, W=None):
     def step(z, xs):
         if W is None:
             u = xs
-            z1 = model.step(z, u)
+            z1 = stepper(z, u)
         else:
             u, w = xs
             zn = remix(z, w)
-            z1 = model.step(zn, u)
+            z1 = stepper(zn, u)
         return z1, z1
 
     xs = U[:-1] if W is None else (U[:-1], W[:-1])
@@ -180,16 +230,29 @@ def rollout_bilinear(model: BilinearModel, z0, U, W=None):
 
 
 def rollout_nonlinear(model: NonlinearModel, zeta0, U, W=None):
-    """Iterate zeta+ = F(zeta, u); y = zeta[:n] (``Ksysid.val_NLmodel``)."""
+    """Iterate zeta+ = F(zeta, u); y = zeta[:n] (``Ksysid.val_NLmodel``).
+
+    For continuous models F is a vector field integrated with rk4 over Ts
+    (``Ksysid.val_NLmodel:1849-1855``).
+    """
     meta = model.meta
+    if meta.time_type == "continuous":
+        from koopman_realizations_tpu.ops.integrators import rk4
+
+        def apply_F(zeta, u, w=None):
+            f = (lambda z: model.F(z, u, w)) if w is not None else \
+                (lambda z: model.F(z, u))
+            return rk4(f, zeta, meta.Ts, 8)
+    else:
+        apply_F = model.F
 
     def step(zeta, xs):
         if W is None:
             u = xs
-            z1 = model.F(zeta, u)
+            z1 = apply_F(zeta, u)
         else:
             u, w = xs
-            z1 = model.F(zeta, u, w)
+            z1 = apply_F(zeta, u, w)
         return z1, z1
 
     xs = U[:-1] if W is None else (U[:-1], W[:-1])

@@ -55,6 +55,8 @@ def blockM_ref():
     return load_ref_trajectory(path)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of execution order
     return np.random.default_rng(0)

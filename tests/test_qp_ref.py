@@ -12,9 +12,10 @@ pytestmark = pytest.mark.skipif(not qp_ref.available(),
                                 reason="native toolchain unavailable")
 
 
-def test_native_matches_brute_force(rng):
+def test_native_matches_brute_force():
     from tests.test_qp import brute_force_qp
 
+    rng = np.random.default_rng(11)
     for _ in range(10):
         P, q, A, b = random_qp(rng, 4, 6)
         x_ref = brute_force_qp(P, q, A, b)
@@ -23,8 +24,9 @@ def test_native_matches_brute_force(rng):
         np.testing.assert_allclose(x, x_ref, atol=1e-8)
 
 
-def test_batched_solver_matches_native_at_mpc_scale(rng):
+def test_batched_solver_matches_native_at_mpc_scale():
     """Paper-config scale: 27-30 vars, ~115 constraint rows."""
+    rng = np.random.default_rng(12)
     for _ in range(10):
         P, q, A, b = random_qp(rng, 27, 114)
         x_ref, _, status = qp_ref.solve_qp_ref(P, q, A, b)
@@ -36,7 +38,8 @@ def test_batched_solver_matches_native_at_mpc_scale(rng):
         np.testing.assert_allclose(np.asarray(sol.x), x_ref, atol=1e-5)
 
 
-def test_native_multipliers_satisfy_kkt(rng):
+def test_native_multipliers_satisfy_kkt():
+    rng = np.random.default_rng(13)
     P, q, A, b = random_qp(rng, 8, 12)
     x, lam, status = qp_ref.solve_qp_ref(P, q, A, b)
     assert status == 0
