@@ -186,10 +186,18 @@ class _KmpcBase:
     def _assemble_U(self, u0, z):
         return jnp.concatenate([u0, z]).reshape(self.Np, self.m)
 
-    def _warm_start(self, u0):
-        """Feasible primal start: hold u0 across the horizon (satisfies the
-        bound/slope/smooth rows by construction)."""
-        return jnp.tile(u0, self.Np - 1)
+    def _warm_start(self, u0, U_init=None):
+        """Primal start for the reduced decision [u_1..u_{Np-1}].
+
+        Default: hold u0 across the horizon (always feasible for the
+        bound/slope/smooth rows).  With ``U_init`` (the previous step's plan,
+        (Np, m)), use its shifted tail -- the classic receding-horizon warm
+        start.
+        """
+        if U_init is None:
+            return jnp.tile(u0, self.Np - 1)
+        shifted = jnp.concatenate([U_init[2:], U_init[-1:]], axis=0)
+        return shifted.reshape(-1)
 
 
 class LinearKmpc(_KmpcBase):
@@ -230,12 +238,12 @@ class LinearKmpc(_KmpcBase):
         self.c = jnp.asarray(c)
         self.Qd = jnp.asarray(self.q_diag)
 
-    def solve(self, z, u_prev, refhor):
+    def solve(self, z, u_prev, refhor, U_init=None):
         """One MPC solve (``Kmpc.get_mpcInput:329-387``), jittable.
 
         z: current lifted state (NL,); u_prev: last applied input (m,);
-        refhor: scaled reference window (<=Np+1, nproj).
-        Returns (U [Np, m], ok).
+        refhor: scaled reference window (<=Np+1, nproj); U_init: optional
+        previous plan for warm starting.  Returns (U [Np, m], ok).
         """
         ref = _pad_ref(refhor, self.Np, self.nproj)
         Yr = ref.reshape(-1)
@@ -245,7 +253,7 @@ class LinearKmpc(_KmpcBase):
         b = self.c - self.Mc @ z
         Pz, fz, Az, bz = self._eliminate_u0(P, f, self.L, b, u_prev)
         sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
-                       x0=self._warm_start(u_prev))
+                       x0=self._warm_start(u_prev, U_init))
         return self._assemble_U(u_prev, sol.x), sol.ok
 
 
@@ -331,7 +339,7 @@ class BilinearKmpc(_KmpcBase):
             ])
         return 2.0 * H, f, L, b
 
-    def solve(self, z, u_prev, refhor, iters: int = 1):
+    def solve(self, z, u_prev, refhor, U_init=None, iters: int = 1):
         """iter-relinearized solve (``get_mpcInput_bilinear_iter:817-904``).
 
         Ksim uses iters=1: one QP about Beta(z) held constant over the
@@ -345,7 +353,7 @@ class BilinearKmpc(_KmpcBase):
             P, f, L, b = self._qp_data(z, zhor, Yr)
             Pz, fz, Az, bz = self._eliminate_u0(P, f, L, b, u_prev)
             sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
-                           x0=self._warm_start(u_prev))
+                           x0=self._warm_start(u_prev, U_init))
             U, ok = self._assemble_U(u_prev, sol.x), sol.ok
             if it + 1 == iters:
                 break
@@ -426,12 +434,25 @@ class NonlinearKmpc(_KmpcBase):
         sz = jnp.concatenate([s0[None], ss], axis=0)      # (Np+1, nz)
         return Sz, sz
 
-    def solve(self, zeta, u_prev, refhor):
-        """SQP solve (semantics of ``get_mpcInput_nonlinear:1114-1181``)."""
+    def solve(self, zeta, u_prev, refhor, U_init=None):
+        """SQP solve (semantics of ``get_mpcInput_nonlinear:1114-1181``).
+
+        With ``U_init`` (previous plan), the SQP initializes from the shifted
+        plan and its nonlinear rollout -- the real-time-iteration warm start.
+        """
         ref = _pad_ref(refhor, self.Np, self.nproj)
         Np, m, n = self.Np, self.m, self.n
         Zl = jnp.tile(zeta[None, :], (Np, 1))
-        Ul = jnp.tile(u_prev[None, :], (Np, 1))
+        if U_init is None:
+            Ul = jnp.tile(u_prev[None, :], (Np, 1))
+        else:
+            Ul = jnp.concatenate([u_prev[None, :], U_init[2:], U_init[-1:]],
+                                 axis=0)
+
+            def roll0(zc, u):
+                return self.F_fn(zc, u), zc
+
+            _, Zl = jax.lax.scan(roll0, zeta, Ul)
         U, ok = None, None
         for _ in range(self.cfg.sqp_iters):
             Sz, sz = self._condense(Zl, Ul, zeta)
@@ -449,7 +470,7 @@ class NonlinearKmpc(_KmpcBase):
                 [self.cFj, self.cE - self.E @ zn])
             Pz, fz, Az, bz = self._eliminate_u0(2.0 * H, f, L, b, u_prev)
             sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
-                           x0=self._warm_start(u_prev))
+                           x0=Ul[1:].reshape(-1))
             U, ok = self._assemble_U(u_prev, sol.x), sol.ok
             # nonlinear re-rollout for the next SQP pass
             def roll(zc, u):

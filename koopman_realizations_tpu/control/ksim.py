@@ -107,9 +107,9 @@ class Ksim:
         nproj = mpc.nproj
         ref_padded = jnp.asarray(ref_padded)
 
-        def body(carry, xs):
+        def body_inner(carry, xs):
             k, w_k = xs
-            x, ywin, uwin, u_prev, what, alive = carry
+            x, ywin, uwin, u_prev, what, alive, U_plan = carry
 
             # zeta from the trailing windows (newest last)
             parts = [ywin[-1]]
@@ -125,7 +125,7 @@ class Ksim:
 
             z = self._lift_current(zeta, what)
             refhor = jax.lax.dynamic_slice(ref_padded, (k, 0), (Np + 1, nproj))
-            U, ok = mpc.solve(z, uwin[-1], refhor)
+            U, ok = mpc.solve(z, uwin[-1], refhor, U_init=U_plan)
             u_next_sc = U[1]
             u_next = scaler.u_up(u_next_sc)
 
@@ -142,6 +142,7 @@ class Ksim:
                          ywin)
             uwin1 = keep(jnp.concatenate([uwin[1:], u_next_sc[None]]), uwin)
             u_prev1 = keep(u_next, u_prev)
+            U_plan1 = keep(U, U_plan)
 
             out = {
                 "U": keep(u_next, jnp.nan * u_next),
@@ -152,7 +153,16 @@ class Ksim:
                 "what": what,
                 "alive": alive,
             }
-            return (x1, ywin1, uwin1, u_prev1, what, alive), out
+            return (x1, ywin1, uwin1, u_prev1, what, alive, U_plan1), out
+
+        def body(carry, xs):
+            # true f32 matmuls throughout the control loop: TPU's default
+            # bf16 matmul inputs accumulate enough error in the plant
+            # Jacobians / MPC assembly to destabilize long rollouts (NaN by
+            # ~step 100 at f32; CPU f32 is clean). All matrices here are
+            # tiny, so 3-pass f32 costs little.
+            with jax.default_matmul_precision("highest"):
+                return body_inner(carry, xs)
 
         return body
 
@@ -174,8 +184,9 @@ class Ksim:
         ywin0 = jnp.tile(jnp.asarray(scaler.y_down(y0), dtype)[None], (self.win, 1))
         uwin0 = jnp.tile(jnp.asarray(scaler.u_down(u0), dtype)[None], (self.win, 1))
         what0 = jnp.zeros((self.meta.nw,), dtype)
+        U_plan0 = jnp.tile(jnp.asarray(u0, dtype)[None], (self.mpc.Np, 1))
         return (jnp.asarray(x0, dtype), ywin0, uwin0, jnp.asarray(u0, dtype),
-                what0, jnp.asarray(True))
+                what0, jnp.asarray(True), U_plan0)
 
     def _w_seq(self, load, K) -> np.ndarray:
         if load is None:

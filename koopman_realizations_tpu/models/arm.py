@@ -151,7 +151,9 @@ class Arm:
         non_inert = (Dq_dt @ alphadot - dLda
                      + cfg.d * alphadot + self.input_torque(alpha, u))
         Dq = self.mass_matrix(alpha, w)
-        return jnp.linalg.solve(Dq, -non_inert)
+        from koopman_realizations_tpu.ops.batch_linalg import solve_spd_unrolled
+
+        return solve_spd_unrolled(Dq, -non_inert)
 
     def rhs(self, x, u, w):
         """State-space RHS for x = [alpha; alphadot] (``Arm.vf_RHS:258-279``)."""

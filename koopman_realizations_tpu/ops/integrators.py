@@ -51,14 +51,17 @@ def sdirk2(f, x0, T: float, substeps: int, newton_iters: int = 3):
     n = x0.shape[-1]
     eye = jnp.eye(n, dtype=x0.dtype)
 
+    from koopman_realizations_tpu.ops.batch_linalg import solve_via_normal_unrolled
+
     def stage(x_base, k_init):
         """Solve k = f(x_base + gamma dt k) by Newton on r(k)=k-f(...)."""
         def newton(k, _):
             xs = x_base + gamma * dt * k
             fx = f(xs)
             J = jax.jacfwd(f)(xs)
-            # r = k - fx ; dr/dk = I - gamma dt J
-            delta = jnp.linalg.solve(eye - gamma * dt * J, k - fx)
+            # r = k - fx ; dr/dk = I - gamma dt J.  Normal-equation solve
+            # avoids XLA's slow batched LU for these tiny systems.
+            delta = solve_via_normal_unrolled(eye - gamma * dt * J, k - fx)
             return k - delta, None
 
         k, _ = jax.lax.scan(newton, k_init, None, length=newton_iters)

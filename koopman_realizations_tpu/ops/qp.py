@@ -41,6 +41,13 @@ def solve_qp(P, q, A, b, iters: int = 25, x0=None) -> QPSolution:
     previous input" plan, which matters when slope constraints make the
     feasible set a narrow band far from the origin.
     """
+    # the Newton systems need true f32 accumulation: TPU matmuls default to
+    # bf16 inputs, which stalls convergence (batched lanes flag not-ok)
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_impl(P, q, A, b, iters, x0)
+
+
+def _solve_qp_impl(P, q, A, b, iters, x0):
     P = jnp.asarray(P)
     q = jnp.asarray(q)
     A = jnp.asarray(A)
@@ -71,14 +78,21 @@ def solve_qp(P, q, A, b, iters: int = 25, x0=None) -> QPSolution:
     s0 = jnp.maximum(b - A @ x0, slack_floor)
     lam0 = jnp.ones((mc,), dtype)
 
+    from koopman_realizations_tpu.ops.batch_linalg import (
+        chol_solve_unrolled,
+        chol_unrolled,
+    )
+
     def newton_rhs(x, s, lam, r_slam):
         r_d = Pr @ x + q + A.T @ lam
         r_p = A @ x + s - b
         D = jnp.clip(lam / s, 1e-14, 1e14)
         M = Pr + (A.T * D) @ A
-        L = jnp.linalg.cholesky(M)
+        # unrolled small-matrix Cholesky: XLA's batched lapack-style path is
+        # the throughput bottleneck of the whole closed loop on TPU
+        L = chol_unrolled(M)
         rhs = -r_d - A.T @ ((-r_slam + lam * r_p) / s)
-        dx = jax.scipy.linalg.cho_solve((L, True), rhs)
+        dx = chol_solve_unrolled(L, rhs)
         ds = -r_p - A @ dx
         dlam = (-r_slam - lam * ds) / s
         return dx, ds, dlam
