@@ -151,7 +151,8 @@ def evaluate_rand_models(datasets: List[DataSet],
                          max_degree_bilinear: int = 6,
                          max_degree_nonlinear: int = 4,
                          nonlinear_lasso: float = 4.0,
-                         lasso_iters: int = 500) -> dict:
+                         lasso_iters: int = 500,
+                         mesh=None) -> dict:
     """Run the full model-class comparison (``evaluate_rand_models.m``).
 
     Returns {"linear"|"bilinear"|"nonlinear": {"err": (deg, S) normed mean
@@ -176,12 +177,38 @@ def evaluate_rand_models(datasets: List[DataSet],
         ("nonlinear", range(1, max_degree_nonlinear + 1), nonlinear_lasso,
          lambda d: (d + 1) * (d + 2) // 2),    # C(2+d, d) over [x, u]
     ]
+    # optional: shard the system axis over a device mesh (the "experiment"
+    # axis of SURVEY 2.6 -- each chip trains its shard of systems, no
+    # cross-system communication)
+    S = args[0].shape[0]
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from koopman_realizations_tpu.parallel.mesh import pad_to_multiple
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        args = [jnp.asarray(pad_to_multiple(np.asarray(a), ndev)[0])
+                for a in args]
+
+        def run_cfg(degree, family, lasso):
+            fn = shard_map(
+                lambda *a: _fit_and_val(*a, scale=None, degree=degree,
+                                        family=family, lasso=lasso,
+                                        lasso_iters=lasso_iters),
+                mesh=mesh, in_specs=(P("data"),) * 4, out_specs=P("data"),
+                check_vma=False)
+            return np.asarray(fn(*args))[:S]
+    else:
+        def run_cfg(degree, family, lasso):
+            return np.asarray(_fit_and_val(*args, scale=None, degree=degree,
+                                           family=family, lasso=lasso,
+                                           lasso_iters=lasso_iters))
+
     for family, degs, lasso, dim_fn in plans:
         errs = []
         for d in degs:
-            e = _fit_and_val(*args, scale=None, degree=int(d), family=family,
-                             lasso=float(lasso), lasso_iters=lasso_iters)
-            errs.append(np.asarray(e))
+            errs.append(run_cfg(int(d), family, float(lasso)))
         err = np.stack(errs)                   # (deg, S)
         dims = np.asarray([dim_fn(d) for d in degs])
         # reference post-filter: drop systems with NaN or error > 10

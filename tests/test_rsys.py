@@ -73,6 +73,20 @@ def test_evaluate_rand_models_on_shipped_data(shipped_rsys):
     np.testing.assert_array_equal(out["nonlinear"]["dims"], [3, 6])
 
 
+def test_evaluate_rand_models_sharded_matches(shipped_rsys):
+    """System-axis sharding over the 8-device mesh changes nothing numerically."""
+    from koopman_realizations_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=8)
+    kw = dict(max_degree_linear=3, max_degree_bilinear=2,
+              max_degree_nonlinear=1, lasso_iters=200)
+    a = evaluate_rand_models(shipped_rsys, **kw)
+    b = evaluate_rand_models(shipped_rsys, mesh=mesh, **kw)
+    for fam in ("linear", "bilinear", "nonlinear"):
+        np.testing.assert_allclose(a[fam]["err"], b[fam]["err"],
+                                   rtol=1e-8, atol=1e-10)
+
+
 def test_evaluate_rand_models_on_generated_data(rng):
     ens = construct_systems(num_sys=6, num_terms=5, degree_x=3, degree_u=1,
                             rng=rng)
