@@ -95,7 +95,15 @@ def input_constraint_rows(cfg: MpcConfig, m: int, Np: int, scaler):
 
 
 def state_constraint_rows(cfg: MpcConfig, n: int, NL: int, Np: int, scaler):
-    """(E, c) rows bounding the first n lifted coords (``Kmpc.m:300-318``)."""
+    """(E, c) rows bounding the first n lifted coords (``Kmpc.m:300-318``).
+
+    The k=0 and k=1 blocks are omitted: the current state is fixed and z_1
+    depends only on the pinned input u_0, so those rows have zero
+    coefficients in the reduced decision variable (vacuous, and they poison
+    the interior-point equilibration exactly like the pinned-input bound
+    rows).  A current state violating its own bound therefore does not make
+    the QP infeasible here (the reference's quadprog would fail).
+    """
     if cfg.state_bounds is None:
         return np.zeros((0, NL * (Np + 1))), np.zeros((0,))
     sb = np.asarray(cfg.state_bounds, float)
@@ -104,7 +112,7 @@ def state_constraint_rows(cfg: MpcConfig, n: int, NL: int, Np: int, scaler):
     lo = np.asarray(scaler.y_down(sb[:, 0]))
     hi = np.asarray(scaler.y_down(sb[:, 1]))
     E_rows, c_rows = [], []
-    for k in range(Np + 1):
+    for k in range(2, Np + 1):
         sel = np.zeros((n, NL * (Np + 1)))
         sel[:, k * NL:k * NL + n] = np.eye(n)
         E_rows += [-sel, sel]
@@ -329,13 +337,15 @@ class BilinearKmpc(_KmpcBase):
         L = self.Fj
         b = self.cFj
         if self._sb_lo is not None:
-            EW = self._block_toeplitz(self.EA, Beta_j)           # ((Np+1)n, mNp)
-            zn = (self.EA @ z).reshape(-1)
+            # k = 2..Np blocks only; k=0 is the fixed state and k=1 depends
+            # only on the pinned u_0 (see state_constraint_rows)
+            EW = self._block_toeplitz(self.EA, Beta_j)[2 * self.n:]
+            zn = (self.EA @ z).reshape(-1)[2 * self.n:]
             L = jnp.concatenate([L, -EW, EW], axis=0)
             b = jnp.concatenate([
                 b,
-                -jnp.tile(self._sb_lo, Np + 1) + zn,
-                jnp.tile(self._sb_hi, Np + 1) - zn,
+                -jnp.tile(self._sb_lo, Np - 1) + zn,
+                jnp.tile(self._sb_hi, Np - 1) - zn,
             ])
         return 2.0 * H, f, L, b
 

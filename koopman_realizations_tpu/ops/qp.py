@@ -137,7 +137,8 @@ def _solve_qp_impl(P, q, A, b, iters, x0):
     # to control accuracy; `gap` carries the exact convergence level for
     # callers that need certified optima.
     tol = 1e-4 if dtype == jnp.float64 else 1e-3
-    ok = finite & (gap < 1e-2) & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b)), 1.0))
+    gap_sane = 1e-2 if dtype == jnp.float64 else 5e-2
+    ok = finite & (gap < gap_sane) & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b)), 1.0))
     x = jnp.where(finite, x, jnp.nan)
     # multipliers of the original (un-equilibrated) problem
     lam_orig = lam * obj_scale / row

@@ -93,3 +93,34 @@ def test_input_slope_respected(arm_dataset, blockM):
     # plan-vs-applied offsets make exact bound apply to within-plan steps;
     # applied inputs may differ slightly step to step, allow small slack
     assert du_sc.max() <= 2 * lim_sc + 1e-6
+
+
+def test_bilinear_state_bounds_and_iters(arm_dataset, blockM):
+    """Structured state-bound rows + iter-relinearization of BilinearKmpc."""
+    ks = train(arm_dataset, "bilinear")
+    cfg = example_control_cfg()
+    import dataclasses
+    # bounds must contain the initial state: the k=0 state-bound block acts
+    # on the fixed current state, so bounds that exclude it make the QP
+    # infeasible (the reference's quadprog would also fail there)
+    cfg_sb = dataclasses.replace(cfg, state_bounds=(-1.5, 1.5))
+    mpc = make_kmpc(ks.model, ks.scaler, cfg_sb)
+    sim = Ksim(shipped_arm(), mpc)
+    res = sim.run_trial_mpc(blockM["y"], steps=80)
+    assert res["alive"].all()
+    y_sc = np.asarray(sim.scaler.y_down(res["Y"]))
+    assert np.isfinite(y_sc).all()
+
+    # iters > 1: re-linearized solve stays consistent with iter=1 but is a
+    # distinct code path (zhor rollout between QPs)
+    import jax.numpy as jnp
+
+    z = ks.basis.lift(jnp.asarray(y_sc[10]))
+    refhor = jnp.asarray(sim.prep_ref(blockM["y"])[10:21])
+    U1, ok1 = mpc.solve(z, jnp.zeros(3), refhor, iters=1)
+    U3, ok3 = mpc.solve(z, jnp.zeros(3), refhor, iters=3)
+    assert bool(ok1) and bool(ok3)
+    assert np.all(np.isfinite(np.asarray(U3)))
+    # both plans respect input bounds
+    lim = np.asarray(sim.scaler.u_down(np.full(3, 7 * np.pi / 8)))
+    assert np.abs(np.asarray(U3)[1:]).max() <= np.abs(lim).max() + 1e-5
