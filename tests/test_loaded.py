@@ -56,6 +56,36 @@ def test_loaded_model_validates(loaded_setup):
     assert np.isfinite(res["sim"]["y"]).all()
 
 
+def test_loaded_linear_model_and_observer(loaded_setup):
+    """The loaded LINEAR realization + its observer variant (which pins the
+    last load component to zero, ``Kmpc.m:1349``)."""
+    arm, _ = loaded_setup
+    # regenerate the corpus deterministically and train a LINEAR loaded model
+    rng = np.random.default_rng(7)
+    loads = [(a, b) for a in (0.0, 0.33, 0.66, 1.0)
+             for b in (-1.0, -0.33, 0.33, 1.0)]
+    sims = arm.simulate_rampNhold_batch(rng, tf=30.0, Tramp=2.0,
+                                        W=np.asarray(loads))
+    trials = [Trial(t=s["t"], y=s["y"], u=s["u"], x=s["x"], w=s["w"])
+              for s in sims]
+    ds = DataSet(train=trials[:-1], val=trials[-1:], params={"sysName": "t"})
+    ks = Ksysid(ds, SysidConfig(model_type="linear", obs_type=("poly",),
+                                obs_degree=(2,), loaded=True, dim_red=True)
+                ).train_models()
+    cfg = _mpc_cfg()
+    mpc = make_kmpc(ks.model, ks.scaler, cfg)
+    obs = make_load_observer(ks.model, cfg)
+    circle = get_circle([0.0, -0.7], 0.3)
+    ref = make_trajectory(circle, T=15.0, Ts=0.05, flip_y=True,
+                          preamble_from=(0.0, 1.0))
+    res = Ksim(arm, mpc, observer=obs).run_trial_mpc(
+        ref["y"], load=np.array([0.8, 0.0]), steps=150)
+    assert res["alive"].all()
+    # the linear estimator pins the LAST load component to exactly zero
+    assert np.abs(res["What"][:, -1]).max() < 1e-9
+    assert np.isfinite(res["err"]).all()
+
+
 def test_observer_recovers_load_and_improves_tracking(loaded_setup):
     arm, ks = loaded_setup
     cfg = _mpc_cfg()
