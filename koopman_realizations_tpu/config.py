@@ -74,6 +74,7 @@ class MpcConfig:
     # solver knobs (no reference counterpart: quadprog/fmincon internals)
     qp_iters: int = 12                   # interior-point iterations
     sqp_iters: int = 5                   # SQP relinearization passes (NMPC)
+    bilinear_iters: int = 1              # QP<->rollout passes (Ksim.m:210 uses 1)
     dtype: str = "float32"
 
 

@@ -349,12 +349,15 @@ class BilinearKmpc(_KmpcBase):
             ])
         return 2.0 * H, f, L, b
 
-    def solve(self, z, u_prev, refhor, U_init=None, iters: int = 1):
+    def solve(self, z, u_prev, refhor, U_init=None, iters: int = None):
         """iter-relinearized solve (``get_mpcInput_bilinear_iter:817-904``).
 
-        Ksim uses iters=1: one QP about Beta(z) held constant over the
-        horizon.  For iters>1 the lifted trajectory is re-rolled between QPs.
+        Ksim uses iters=1 (one QP about Beta(z) held constant over the
+        horizon, the reference's choice at ``Ksim.m:210``); for iters>1 the
+        lifted trajectory is re-rolled between QPs.  Default comes from
+        ``MpcConfig.bilinear_iters``.
         """
+        iters = self.cfg.bilinear_iters if iters is None else iters
         ref = _pad_ref(refhor, self.Np, self.nproj)
         Yr = ref.reshape(-1)
         zhor = jnp.tile(z[None, :], (self.Np, 1))
