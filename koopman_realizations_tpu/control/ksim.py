@@ -210,17 +210,31 @@ class Ksim:
         # iteration k applies load row k-1 (Ksim.m:242: results.W(k,:) with
         # 1-based k), so rows 0..K-2 align with ks = 1..K-1
         w_seq = jnp.asarray(self._w_seq(load, K)[:-1], init[0].dtype)
-        _, out = jax.lax.scan(body, init, (ks, w_seq))
-        return self._package(out)
+        import time as _time
 
-    def _package(self, out) -> dict:
-        """Assemble the reference's results-struct schema (``Ksim.m:129-258``)."""
+        t0 = _time.perf_counter()
+        _, out = jax.lax.scan(body, init, (ks, w_seq))
+        jax.block_until_ready(out["Y"])
+        wall = _time.perf_counter() - t0
+        return self._package(out, wall_s=wall)
+
+    def _package(self, out, wall_s: float = 0.0) -> dict:
+        """Assemble the reference's results-struct schema (``Ksim.m:129-258``).
+
+        ``comp_time`` attributes the compiled loop's wall time uniformly over
+        steps (per-solve tic/toc does not exist inside one fused scan;
+        includes compile time on first call -- use utils.timing.step_time for
+        clean measurements).
+        """
+        from koopman_realizations_tpu.utils.timing import comp_time_like
+
         Y = np.asarray(out["Y"])
         R = np.asarray(out["R"])
         err = np.asarray(tracking_error(R, Y, self.mpc.proj_idx))
         Ts = self.meta.Ts
         K1 = Y.shape[0]
         return {
+            "comp_time": comp_time_like(wall_s, K1),
             "T": np.arange(1, K1 + 1) * Ts,
             "U": np.asarray(out["U"]),
             "Y": Y,
