@@ -74,6 +74,8 @@ class MpcConfig:
     # solver knobs (no reference counterpart: quadprog/fmincon internals)
     qp_iters: int = 12                   # interior-point iterations
     sqp_iters: int = 5                   # SQP relinearization passes (NMPC)
+    sqp_damping: float = 0.05            # Levenberg damping on the SQP step
+                                         # (tames transient input saturation)
     bilinear_iters: int = 1              # QP<->rollout passes (Ksim.m:210 uses 1)
     dtype: str = "float32"
 

@@ -473,8 +473,15 @@ class NonlinearKmpc(_KmpcBase):
             Sy = jnp.einsum("pi,kij->kpj", self.Cz, Sz[:, : n, :]) \
                 .reshape((Np + 1) * self.nproj, Np * m)
             sy = (sz[:, : n] @ self.Cz.T).reshape(-1)
-            H = Sy.T @ (self.Qd[:, None] * Sy) + jnp.diag(self.Rd)
-            f = 2.0 * Sy.T @ (self.Qd * (sy - ref.reshape(-1)))
+            # Levenberg damping rho ||U - U_lin||^2: the undamped Gauss-Newton
+            # step can converge to an input-saturated local optimum during
+            # transients (fmincon's line search avoids it); rho trades the
+            # transient peak against steady-state tracking
+            rho = self.cfg.sqp_damping
+            H = (Sy.T @ (self.Qd[:, None] * Sy) + jnp.diag(self.Rd)
+                 + rho * jnp.eye(Np * m, dtype=Sy.dtype))
+            f = (2.0 * Sy.T @ (self.Qd * (sy - ref.reshape(-1)))
+                 - 2.0 * rho * Ul.reshape(-1))
             # state bounds act on stacked zeta[:n]
             Zn = Sz[:, : n, :].reshape((Np + 1) * n, Np * m)
             zn = sz[:, : n].reshape(-1)

@@ -267,6 +267,55 @@ class Ksim:
 
         return jax.jit(jax.vmap(one))
 
+    def run_multi_ref(self, refs, X0, load=None,
+                      steps: Optional[int] = None) -> dict:
+        """Batch with a DIFFERENT reference trajectory per lane.
+
+        refs: list of (K_i, nproj) unscaled trajectories (padded to the
+        longest with their final point) or an array (B, K, nproj).  Together
+        with per-lane loads and initial states this realizes the north-star
+        scenario axis: trajectories x initial conditions x loads concurrent
+        in one compiled batch.
+
+        Note: with ``steps`` set, each lane's reference is truncated at
+        ``steps`` rows before horizon padding, so the final Np steps see a
+        held terminal point instead of the trajectory's continuation (a
+        truncated run of ``run_trial_mpc`` keeps looking ahead into the full
+        reference).
+        """
+        if isinstance(refs, (list, tuple)):
+            K = max(r.shape[0] for r in refs) if steps is None else steps
+            stacked = []
+            for r in refs:
+                r = np.asarray(r, float)
+                if r.shape[0] < K:
+                    r = np.concatenate(
+                        [r, np.tile(r[-1:], (K - r.shape[0], 1))], axis=0)
+                stacked.append(r[:K])
+            refs = np.stack(stacked)
+        refs = np.asarray(refs, float)
+        B, K = refs.shape[0], refs.shape[1] if steps is None else steps
+        refs_padded = np.stack([self.prep_ref(r[:K]) for r in refs])
+
+        init0 = self.init_carry()
+        ks = jnp.arange(1, K)
+
+        def one(x0, w, refp):
+            body = self.make_body(refp)
+            w_seq = jnp.tile(w[None, :], (K - 1, 1))
+            init = (jnp.asarray(x0, init0[0].dtype),) + init0[1:]
+            _, out = jax.lax.scan(body, init, (ks, w_seq))
+            return out
+
+        load_b = jnp.zeros((B, 2)) if load is None else jnp.asarray(load)
+        out = jax.jit(jax.vmap(one))(jnp.asarray(X0), load_b,
+                                     jnp.asarray(refs_padded, init0[0].dtype))
+        Y = np.asarray(out["Y"])
+        R = np.asarray(out["R"])
+        err = np.sqrt(((R - Y[..., list(self.mpc.proj_idx)]) ** 2).sum(-1))
+        return {"Y": Y, "R": R, "U": np.asarray(out["U"]),
+                "alive": np.asarray(out["alive"]), "err": err}
+
     def run_batch(self, ref, X0, load=None, steps: Optional[int] = None) -> dict:
         """vmap the whole closed loop over scenario axis 0 of X0.
 
