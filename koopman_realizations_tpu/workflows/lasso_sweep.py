@@ -1,0 +1,127 @@
+"""Closed-loop evaluation of a lasso sweep: all candidate models in ONE batch.
+
+The reference trains multiple candidates per lasso value
+(``Ksysid.train_models:1344-1389``) and would evaluate them one
+``Ksim.run_trial_mpc`` at a time.  Here the bilinear MPC solve is expressed
+as a pure function of a per-candidate constants pytree, so the entire closed
+loop vmaps over the candidate axis: models x initial conditions run
+concurrently on one chip (BASELINE config #3: "lasso sweep training multiple
+models in one batch").
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koopman_realizations_tpu.config import MpcConfig
+from koopman_realizations_tpu.control.kmpc import BilinearKmpc, _pad_ref
+from koopman_realizations_tpu.models.koopman import BilinearModel
+from koopman_realizations_tpu.ops.qp import solve_qp
+
+
+def bilinear_consts(mpc: BilinearKmpc) -> dict:
+    """Per-candidate constants consumed by ``bilinear_solve_pure``."""
+    return {
+        "Bm": mpc.model.B,            # (NL, m, NL)
+        "PA": mpc.PA,                 # (Np+1, p, NL)
+        "EA": mpc.EA,
+        "powers": mpc.powers,
+        "Fj": mpc.Fj, "cFj": mpc.cFj,
+        "Qd": mpc.Qd, "Rd": mpc.Rd,
+        "tidx": mpc._tidx, "tvalid": mpc._tvalid,
+    }
+
+
+def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, Np: int, m: int,
+                        nproj: int, qp_iters: int):
+    """Stateless re-implementation of ``BilinearKmpc.solve`` (iters=1)."""
+    ref = _pad_ref(refhor, Np, nproj)
+    Yr = ref.reshape(-1)
+    zhor = jnp.tile(z[None, :], (Np, 1))
+    Beta_j = jnp.einsum("kmj,pj->pkm", c["Bm"], zhor)
+    g = jnp.einsum("ijrb,jbm->ijrm", c["PA"][c["tidx"]], Beta_j)
+    g = jnp.where(c["tvalid"][:, :, None, None], g, 0.0)
+    CB = g.transpose(0, 2, 1, 3).reshape((Np + 1) * nproj, Np * m)
+    CAz = (c["PA"] @ z).reshape(-1)
+    H = CB.T @ (c["Qd"][:, None] * CB) + jnp.diag(c["Rd"])
+    f = 2.0 * CB.T @ (c["Qd"] * (CAz - Yr))
+    P = 2.0 * H
+    # eliminate the pinned first input
+    P11 = P[:m, :m]
+    Pz = P[m:, m:]
+    fz = f[m:] + P[m:, :m] @ u_prev
+    Az = c["Fj"][:, m:]
+    bz = c["cFj"] - c["Fj"][:, :m] @ u_prev
+    warm = jnp.concatenate([U_init[2:], U_init[-1:]], axis=0).reshape(-1)
+    sol = solve_qp(Pz, fz, Az, bz, iters=qp_iters, x0=warm)
+    U = jnp.concatenate([u_prev, sol.x]).reshape(Np, m)
+    return U, sol.ok
+
+
+def lasso_sweep_closed_loop(ksysid, plant, mpc_cfg: MpcConfig, ref,
+                            steps: Optional[int] = None) -> dict:
+    """Run the closed loop for EVERY candidate model simultaneously.
+
+    ksysid: a trained Ksysid whose ``candidates`` are bilinear models of
+    identical shape (one per lasso value).  Returns per-candidate err/alive.
+    """
+    cands: List[BilinearModel] = ksysid.candidates
+    assert all(isinstance(cd, BilinearModel) for cd in cands), \
+        "lasso_sweep_closed_loop currently supports bilinear candidates"
+    mpcs = [BilinearKmpc(cd, ksysid.scaler, mpc_cfg) for cd in cands]
+    consts = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                    *[bilinear_consts(m) for m in mpcs])
+
+    mpc0 = mpcs[0]
+    Np, m, nproj = mpc0.Np, mpc0.m, mpc0.nproj
+    scaler = ksysid.scaler
+    basis = ksysid.basis
+    ref = np.asarray(ref, float)
+    K = ref.shape[0] if steps is None else steps
+    ref_padded = jnp.asarray(
+        np.concatenate([np.asarray(scaler.ref_down(ref[:K], mpc0.proj_idx)),
+                        np.tile(np.asarray(
+                            scaler.ref_down(ref[:K], mpc0.proj_idx))[-1:],
+                            (Np + 1, 1))], axis=0))
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    x0 = jnp.zeros((plant.cfg.nx,), dtype)
+    y0 = plant.get_y(x0)
+    u0 = jnp.zeros((m,), dtype)
+
+    def one(c):
+        def body(carry, k):
+            x, y_sc, u_prev, U_plan, alive = carry
+            with jax.default_matmul_precision("highest"):
+                z = basis.lift(y_sc)
+                refhor = jax.lax.dynamic_slice(ref_padded, (k, 0),
+                                               (Np + 1, nproj))
+                U, ok = bilinear_solve_pure(c, z, scaler.u_down(u_prev),
+                                            refhor, U_plan, Np, m, nproj,
+                                            mpc_cfg.qp_iters)
+                u_next = scaler.u_up(U[1])
+                x_new = plant.simulate_Ts(x, u_prev, jnp.zeros(2, dtype))
+                alive = alive & ok
+                keep = lambda a, b: jnp.where(alive, a, b)
+                x1 = keep(x_new, x)
+                y1 = plant.get_y(x1)
+                carry = (x1, scaler.y_down(y1), keep(u_next, u_prev),
+                         keep(U, U_plan), alive)
+                err = jnp.sqrt(jnp.sum(
+                    (scaler.ref_up(refhor[0], mpc0.proj_idx)
+                     - y1[jnp.asarray(mpc0.proj_idx)]) ** 2))
+                return carry, {"err": err, "alive": alive}
+
+        init = (x0, scaler.y_down(y0).astype(dtype), u0,
+                jnp.zeros((Np, m), dtype), jnp.asarray(True))
+        _, out = jax.lax.scan(body, init, jnp.arange(1, K))
+        return out
+
+    out = jax.jit(jax.vmap(one))(consts)
+    return {"err": np.asarray(out["err"]),
+            "alive": np.asarray(out["alive"]),
+            "lasso": [float(cd.lasso) for cd in cands]}
