@@ -24,9 +24,6 @@ TPU-first mechanics shared by all three:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -96,8 +96,8 @@ class Ksim:
     def make_body(self, ref_padded):
         """Jittable scan body closed over the (device-constant) reference.
 
-        carry = (x, ywin, uwin, u_prev, what, alive); xs = (k, w_k) with k
-        the reference index and w_k the true load applied this step.
+        carry = (x, ywin, uwin, u_prev, what, alive, U_plan); xs = (k, w_k)
+        with k the reference index and w_k the true load applied this step.
         """
         mpc = self.mpc
         plant = self.plant

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from koopman_realizations_tpu.models.koopman import BilinearModel, LinearModel
+from koopman_realizations_tpu.models.koopman import BilinearModel
 from koopman_realizations_tpu.ops.qp import solve_qp
 
 

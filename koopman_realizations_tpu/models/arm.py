@@ -21,8 +21,6 @@ Sensing (``Arm.get_y:364-412``): 'angles' | 'markers' | 'endeff' | 'shape'.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

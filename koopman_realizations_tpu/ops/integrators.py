@@ -9,7 +9,6 @@ checks against the shipped trajectories.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

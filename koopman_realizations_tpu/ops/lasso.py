@@ -16,7 +16,6 @@ Semantics match the reference formulation; the method does not.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

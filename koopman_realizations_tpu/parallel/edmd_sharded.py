@@ -10,8 +10,6 @@ snapshot matrices never cross ICI -- only the Nm^2 Gram blocks do.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

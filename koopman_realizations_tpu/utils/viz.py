@@ -8,8 +8,6 @@ ffmpeg is present) or GIF.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import numpy as np
 
 

@@ -17,7 +17,7 @@ validation error normalized by the zero-response mean |y|.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
