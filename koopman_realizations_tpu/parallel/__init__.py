@@ -9,3 +9,4 @@ from koopman_realizations_tpu.parallel.scenarios import (  # noqa: F401
     run_batch_sharded,
     sharded_batch_runner,
 )
+from koopman_realizations_tpu.parallel.pca_sharded import pca_feature_sharded  # noqa: F401
