@@ -210,12 +210,25 @@ class Ksysid:
             mask[src, dst] = True
         return mask
 
+    def _lstsq64(self, A, B):
+        """Minimum-norm least squares, always in float64.
+
+        The regression runs once per fit; in float32 sessions (TPU default,
+        x64 off) doing it at f32 visibly degrades open-loop rollouts (arm
+        linear validation 2.6 vs 0.73 mean Euclidean error), so the solve
+        always routes through host float64 and casts back.
+        """
+        if self.dtype == jnp.float64:
+            return lstsq_ops.lstsq(A, B, refine=0)
+        X = np.linalg.lstsq(np.asarray(A, np.float64),
+                            np.asarray(B, np.float64), rcond=None)[0]
+        return jnp.asarray(X, self.dtype)
+
     def get_koopman(self, lasso: float):
         """Fit K with Px K ~= Py (``Ksysid.get_Koopman:987-1092``)."""
         Px, Py = self.lift_snapshot_matrices()
         if lasso >= 1e6 or math.isinf(lasso):
-            K = lstsq_ops.lstsq(Px, Py,
-                                refine=0 if self.dtype == jnp.float64 else 1)
+            K = self._lstsq64(Px, Py)
         else:
             t = lasso * self.N              # budget scaling (Ksysid.m:994-999)
             pin = self._delay_pin_mask(Px.shape[1])
@@ -253,8 +266,7 @@ class Ksysid:
 
         # projection M = argmin ||L M^T - Py|| with L_i = (A Px_i + B u_i)^T
         L = koop["Px"] @ A.T + koop["u"] @ B.T
-        Mt = lstsq_ops.lstsq(L, koop["Py"],
-                             refine=0 if self.dtype == jnp.float64 else 1)
+        Mt = self._lstsq64(L, koop["Py"])
         M = Mt.T
         if self.cfg.time_type == "discrete":
             A, B = M @ A, M @ B
