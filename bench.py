@@ -35,7 +35,7 @@ def main():
     from koopman_realizations_tpu.models.edmd import Ksysid
     from koopman_realizations_tpu.utils.matio import load_data4sysid, load_ref_trajectory
 
-    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    batch = int(os.environ.get("BENCH_BATCH", "8192"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
 
     ds = load_data4sysid(DATAFILE)

@@ -133,8 +133,11 @@ class Ksim:
             x_new = plant.simulate_Ts(x, u_prev, w_k)
             y_new = plant.get_y(x_new)
 
-            # freeze dead lanes (reference: break on NaN solution)
-            alive = alive & ok
+            # freeze dead lanes: solver failure (reference: break on NaN
+            # solution) or a non-finite plant state (e.g. the integrator
+            # diverging under extreme unmodeled scenarios) -- either way the
+            # lane must stop before NaNs enter the frozen records
+            alive = alive & ok & jnp.all(jnp.isfinite(x_new))
             keep = lambda new, old: jnp.where(alive, new, old)
             x1 = keep(x_new, x)
             y1 = plant.get_y(x1)

@@ -38,3 +38,27 @@ def test_run_multi_ref_trajectories(arm_dataset, blockM_ref):
     res0 = sim.run_trial_mpc(blockM_ref["y"], steps=100)
     np.testing.assert_allclose(out["err"][0][:85], res0["err"][:85],
                                atol=1e-9)
+
+
+def test_diverging_lane_freezes_finite(arm_dataset, blockM_ref):
+    """A lane whose plant state diverges freezes with finite records."""
+    ks = Ksysid(arm_dataset, SysidConfig(model_type="bilinear",
+                                         obs_type=("poly",), obs_degree=(3,),
+                                         dim_red=True)).train_models()
+    mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
+        horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
+        input_slopeConst=1e-1, cost_running=10.0, cost_terminal=100.0,
+        cost_input=(3e-3, 2e-3, 1e-3), proj_idx=(4, 5)))
+    arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
+                        output_type="markers", substeps=2))
+    sim = Ksim(arm, mpc)
+    # absurd initial joint velocities push the integrator into divergence
+    X0 = np.zeros((2, 6))
+    X0[1, 3:] = 1e6
+    out = sim.run_batch(blockM_ref["y"], X0, steps=40)
+    assert out["alive"][0, -1]            # normal lane unaffected
+    assert not out["alive"][1, -1]        # diverging lane frozen
+    assert np.isfinite(out["err"][0]).all()
+    # frozen lane's error trace stays finite after the freeze point
+    e1 = out["err"][1]
+    assert np.isfinite(e1[np.asarray(out["alive"][1])]).all()

@@ -83,3 +83,20 @@ def test_export_mat_layout(tmp_path, arm_dataset):
     assert d.B.shape == (NL, ks.model.meta.m * NL)
     # column-block k of B equals the stored (NL, m, NL) slice [:, k, :]
     np.testing.assert_allclose(d.B[:, :NL], np.asarray(ks.model.B)[:, 0, :])
+
+
+def test_save_results_mat_roundtrip(tmp_path):
+    """Closed-loop results export in the reference's result-struct layout."""
+    import scipy.io as sio
+
+    from koopman_realizations_tpu.utils.matio import save_results_mat
+
+    results = {"T": np.arange(5) * 0.05, "U": np.zeros((5, 3)),
+               "Y": np.ones((5, 6)), "R": np.ones((5, 2)),
+               "err": np.full(5, 0.1), "comp_time": np.full(5, 1e-3)}
+    path = str(tmp_path / "res.mat")
+    save_results_mat(path, results, varname="res_lin")
+    d = sio.loadmat(path, squeeze_me=True, struct_as_record=False)
+    r = d["res_lin"]
+    assert set(r._fieldnames) >= {"T", "U", "Y", "R", "err", "comp_time"}
+    np.testing.assert_allclose(np.asarray(r.err), 0.1)
