@@ -234,6 +234,14 @@ class Arm:
         coeffs = (P @ pts).T                      # rows: x-coeffs, y-coeffs
         return coeffs.reshape(-1)                 # [cx1 cx2 cx3 cy1 cy2 cy3]
 
+    def shape_curve(self, alpha, n_pts: int = 101):
+        """Evaluate the fitted shape polynomial along [0, 1]
+        (``Arm.get_shape:415-432``); returns (n_pts, 2) xy samples."""
+        coeffs = self.shape_coeffs(alpha).reshape(2, 3)
+        s = jnp.linspace(0.0, 1.0, n_pts)
+        powers = jnp.stack([s, s ** 2, s ** 3])        # polynomial has no constant
+        return (coeffs @ powers).T
+
     def get_y(self, x):
         """Measured output from full state (``Arm.get_y:364-412``), single row."""
         n = self.nlinks

@@ -80,8 +80,16 @@ class Ksysid:
         self.traindata = self.scaler.trial_down(merged)
         self.valdata = [self.scaler.trial_down(tr) for tr in data.val]
 
-        # snapshot pairs (Ksysid.m:134)
-        self.snapshot_pairs = self.get_snapshot_pairs(self.traindata, cfg.snapshots)
+        # snapshot pairs (Ksysid.m:134); datafiles may carry pre-extracted
+        # pairs (Ksysid.m:931-938)
+        if data.snapshots is not None:
+            sp = data.snapshots
+            self.snapshot_pairs = SnapshotPairs(
+                alpha=np.asarray(sp["alpha"]), beta=np.asarray(sp["beta"]),
+                u=np.asarray(sp["u"]), w=np.asarray(sp["w"]) if "w" in sp else None)
+        else:
+            self.snapshot_pairs = self.get_snapshot_pairs(self.traindata,
+                                                          cfg.snapshots)
 
         # PCA dimension reduction (Ksysid.m:137-142)
         if cfg.dim_red:

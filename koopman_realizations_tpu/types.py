@@ -101,6 +101,9 @@ class DataSet:
     train: list
     val: list
     params: Optional[dict] = None
+    # optional pre-extracted snapshot pairs carried by the datafile
+    # ({alpha, beta, u[, w]}; reference ``Ksysid.m:931-938``)
+    snapshots: Optional[dict] = None
 
     @property
     def isfake(self) -> bool:
