@@ -72,7 +72,8 @@ class MpcConfig:
     # end effector; here we give the row indices into y instead.
     proj_idx: Optional[Tuple[int, ...]] = None
     # solver knobs (no reference counterpart: quadprog/fmincon internals)
-    qp_iters: int = 12                   # interior-point iterations
+    qp_iters: int = 10                   # interior-point iterations (8 already
+                                         # matches golden parity; 10 adds margin)
     sqp_iters: int = 5                   # SQP relinearization passes (NMPC)
     sqp_damping: float = 0.05            # Levenberg damping on the SQP step
                                          # (tames transient input saturation)
