@@ -258,7 +258,8 @@ class LinearKmpc(_KmpcBase):
         b = self.c - self.Mc @ z
         Pz, fz, Az, bz = self._eliminate_u0(P, f, self.L, b, u_prev)
         sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
-                       x0=self._warm_start(u_prev, U_init))
+                       x0=self._warm_start(u_prev, U_init),
+                       shared_A=self.cfg.state_bounds is None)
         return self._assemble_U(u_prev, sol.x), sol.ok
 
 
@@ -363,7 +364,8 @@ class BilinearKmpc(_KmpcBase):
             P, f, L, b = self._qp_data(z, zhor, Yr)
             Pz, fz, Az, bz = self._eliminate_u0(P, f, L, b, u_prev)
             sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
-                           x0=self._warm_start(u_prev, U_init))
+                           x0=self._warm_start(u_prev, U_init),
+                           shared_A=self.cfg.state_bounds is None)
             U, ok = self._assemble_U(u_prev, sol.x), sol.ok
             if it + 1 == iters:
                 break
@@ -483,7 +485,8 @@ class NonlinearKmpc(_KmpcBase):
                 [self.cFj, self.cE - self.E @ zn])
             Pz, fz, Az, bz = self._eliminate_u0(2.0 * H, f, L, b, u_prev)
             sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
-                           x0=Ul[1:].reshape(-1))
+                           x0=Ul[1:].reshape(-1),
+                           shared_A=self.cfg.state_bounds is None)
             U, ok = self._assemble_U(u_prev, sol.x), sol.ok
             # nonlinear re-rollout for the next SQP pass
             def roll(zc, u):

@@ -31,8 +31,9 @@ class QPSolution(NamedTuple):
     gap: jnp.ndarray     # final complementarity gap
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def solve_qp(P, q, A, b, iters: int = 25, x0=None) -> QPSolution:
+@partial(jax.jit, static_argnames=("iters", "shared_A"))
+def solve_qp(P, q, A, b, iters: int = 25, x0=None,
+             shared_A: bool = False) -> QPSolution:
     """Interior-point solve of min 1/2 x'Px + q'x s.t. Ax <= b.
 
     P must be symmetric PSD (the MPC Hessian is PSD by construction; a small
@@ -40,14 +41,22 @@ def solve_qp(P, q, A, b, iters: int = 25, x0=None) -> QPSolution:
     starts the primal iterate -- MPC solves pass the feasible "hold the
     previous input" plan, which matters when slope constraints make the
     feasible set a narrow band far from the origin.
-    """
+
+    ``shared_A`` promises that A is NOT batched under an enclosing vmap
+    (lane-shared constraint rows, the no-state-bounds MPC case): the Newton
+    matrix then forms as one (B, mc) @ (mc, n^2) GEMM over precomputed row
+    outer products instead of per-lane rescale-and-multiply -- an MXU-shaped
+    contraction.  Do not set it when A varies per lane (the outer-product
+    tensor would be materialized per lane).
+
     # the Newton systems need true f32 accumulation: TPU matmuls default to
     # bf16 inputs, which stalls convergence (batched lanes flag not-ok)
+    """
     with jax.default_matmul_precision("highest"):
-        return _solve_qp_impl(P, q, A, b, iters, x0)
+        return _solve_qp_impl(P, q, A, b, iters, x0, shared_A)
 
 
-def _solve_qp_impl(P, q, A, b, iters, x0):
+def _solve_qp_impl(P, q, A, b, iters, x0, shared_A):
     P = jnp.asarray(P)
     q = jnp.asarray(q)
     A = jnp.asarray(A)
@@ -83,11 +92,18 @@ def _solve_qp_impl(P, q, A, b, iters, x0):
         chol_unrolled,
     )
 
+    if shared_A:
+        # row outer products a_c a_c^T flattened: (mc, n*n); lane-shared
+        O_flat = jnp.einsum("ci,cj->cij", A, A).reshape(mc, n * n)
+
     def newton_rhs(x, s, lam, r_slam):
         r_d = Pr @ x + q + A.T @ lam
         r_p = A @ x + s - b
         D = jnp.clip(lam / s, 1e-14, 1e14)
-        M = Pr + (A.T * D) @ A
+        if shared_A:
+            M = Pr + (D @ O_flat).reshape(n, n)
+        else:
+            M = Pr + (A.T * D) @ A
         # unrolled small-matrix Cholesky: XLA's batched lapack-style path is
         # the throughput bottleneck of the whole closed loop on TPU
         L = chol_unrolled(M)
