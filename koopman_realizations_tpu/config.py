@@ -67,6 +67,9 @@ class MpcConfig:
     mpc_type: Optional[str] = None       # default: nonlinear iff model nonlinear
     load_obs_horizon: int = 10
     load_obs_period: int = 1
+    # optional slope constraint |w_j - w_prev_j| <= load_obs_slope on the
+    # load estimate vs the previous one (Kmpc.m:1336-1345 uses 0.01)
+    load_obs_slope: Optional[float] = None
     # projection: indices of y-dims tracked by the reference (None = all).
     # The reference passes projmtx = model.C(end-1:end,:) to track only the
     # end effector; here we give the row indices into y instead.
@@ -74,6 +77,9 @@ class MpcConfig:
     # solver knobs (no reference counterpart: quadprog/fmincon internals)
     qp_iters: int = 10                   # interior-point iterations (8 already
                                          # matches golden parity; 10 adds margin)
+    qp_backend: str = "auto"             # 'auto': lanes-minor Pallas IPM for
+                                         # batched shared-A solves on TPU;
+                                         # 'jax': force the pure-JAX path
     sqp_iters: int = 5                   # SQP relinearization passes (NMPC)
     sqp_damping: float = 0.05            # Levenberg damping on the SQP step
                                          # (tames transient input saturation)

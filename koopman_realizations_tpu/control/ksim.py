@@ -12,8 +12,9 @@ Reference bookkeeping quirks reproduced for golden-file parity:
   (``Ksim.m:239-246``: ``u_k = results.U(end,:)``),
 - the applied input each step is the *second* row of the MPC plan
   (``Ksim.m:225``),
-- the recorded reference row at step k is ``ref[k-1]`` (``Ksim.m:254``), so
-  the error trace compares ``Y[k]`` with ``ref[k-1]``,
+- the recorded reference row at 1-based step k is ``ref_sc(k,:)`` = the row
+  the horizon starts at (``Ksim.m:199,254``), so the error trace compares
+  the NEXT measurement ``Y[k+1]`` with the current reference row ``ref[k]``,
 - infeasible solves: the reference breaks the loop (``:220-222``); here the
   lane freezes and reports ``alive=False`` from that step on.
 """
@@ -93,11 +94,18 @@ class Ksim:
             return basis.lift_loaded(zeta, what)
         return basis.lift(zeta)
 
-    def make_body(self, ref_padded):
+    RECORD_ALL = ("U", "Y", "X", "R", "Z", "what", "alive")
+
+    def make_body(self, ref_padded, record=RECORD_ALL):
         """Jittable scan body closed over the (device-constant) reference.
 
         carry = (x, ywin, uwin, u_prev, what, alive, U_plan); xs = (k, w_k)
         with k the reference index and w_k the true load applied this step.
+
+        ``record`` selects which per-step outputs the scan stacks.  The full
+        set costs real HBM at large batch -- Z alone is (B, K, NL) -- and
+        dropping unused fields lets XLA dead-code-eliminate their stores
+        (the B>8192 throughput cliff was exactly this).
         """
         mpc = self.mpc
         plant = self.plant
@@ -124,7 +132,11 @@ class Ksim:
                 what = self.observer(k, ywin, uwin, what)
 
             z = self._lift_current(zeta, what)
-            refhor = jax.lax.dynamic_slice(ref_padded, (k, 0), (Np + 1, nproj))
+            # k is the reference's 1-based step counter; the horizon starts
+            # at the CURRENT reference row ref_sc(k,:) = ref[k-1] 0-based
+            # (Ksim.m:198-199)
+            refhor = jax.lax.dynamic_slice(ref_padded, (k - 1, 0),
+                                           (Np + 1, nproj))
             U, ok = mpc.solve(z, uwin[-1], refhor, U_init=U_plan)
             u_next_sc = U[1]
             u_next = scaler.u_up(u_next_sc)
@@ -147,15 +159,16 @@ class Ksim:
             u_prev1 = keep(u_next, u_prev)
             U_plan1 = keep(U, U_plan)
 
-            out = {
-                "U": keep(u_next, jnp.nan * u_next),
-                "Y": y1,
-                "X": x1,
-                "R": scaler.ref_up(refhor[0], mpc.proj_idx),
-                "Z": z,
-                "what": what,
-                "alive": alive,
+            out_full = {
+                "U": lambda: keep(u_next, jnp.nan * u_next),
+                "Y": lambda: y1,
+                "X": lambda: x1,
+                "R": lambda: scaler.ref_up(refhor[0], mpc.proj_idx),
+                "Z": lambda: z,
+                "what": lambda: what,
+                "alive": lambda: alive,
             }
+            out = {name: out_full[name]() for name in record}
             return (x1, ywin1, uwin1, u_prev1, what, alive, U_plan1), out
 
         def body(carry, xs):
@@ -187,7 +200,9 @@ class Ksim:
         ywin0 = jnp.tile(jnp.asarray(scaler.y_down(y0), dtype)[None], (self.win, 1))
         uwin0 = jnp.tile(jnp.asarray(scaler.u_down(u0), dtype)[None], (self.win, 1))
         what0 = jnp.zeros((self.meta.nw,), dtype)
-        U_plan0 = jnp.tile(jnp.asarray(u0, dtype)[None], (self.mpc.Np, 1))
+        # U_plan is carried in SCALED units (mpc.solve returns scaled plans)
+        u0_sc = jnp.asarray(scaler.u_down(u0), dtype)
+        U_plan0 = jnp.tile(u0_sc[None], (self.mpc.Np, 1))
         return (jnp.asarray(x0, dtype), ywin0, uwin0, jnp.asarray(u0, dtype),
                 what0, jnp.asarray(True), U_plan0)
 
@@ -251,14 +266,15 @@ class Ksim:
 
     # ------------------------------------------------------ batched variant
 
-    def batched_runner(self, ref, steps: Optional[int] = None):
-        """Return (fn, ks, w_default) where fn(x0_batch, w_batch) scans the
-        closed loop vmapped over scenario lanes.  fn is jit-compiled once and
-        reusable; pair with ``parallel.scenarios.shard_scenarios`` to spread
-        lanes over a device mesh.
+    def batched_runner(self, ref, steps: Optional[int] = None,
+                       record=RECORD_ALL):
+        """Return fn(x0_batch, w_batch) scanning the closed loop vmapped over
+        scenario lanes.  fn is jit-compiled once and reusable; pair with
+        ``parallel.scenarios.shard_scenarios`` to spread lanes over a device
+        mesh.  ``record`` trims the stacked outputs (see ``make_body``).
         """
         K = ref.shape[0] if steps is None else steps
-        body = self.make_body(self.prep_ref(ref))
+        body = self.make_body(self.prep_ref(ref), record=record)
         init0 = self.init_carry()
         ks = jnp.arange(1, K)
 
@@ -304,7 +320,7 @@ class Ksim:
         ks = jnp.arange(1, K)
 
         def one(x0, w, refp):
-            body = self.make_body(refp)
+            body = self.make_body(refp, record=("U", "Y", "R", "alive"))
             w_seq = jnp.tile(w[None, :], (K - 1, 1))
             init = (jnp.asarray(x0, init0[0].dtype),) + init0[1:]
             _, out = jax.lax.scan(body, init, (ks, w_seq))
@@ -324,10 +340,15 @@ class Ksim:
 
         All scenarios share the reference; load: optional (B, nw_plant).
         """
-        key = (id(ref), ref.shape[0] if steps is None else steps)
+        # content-keyed cache: id() of a collected array can be reused by a
+        # different ref of the same length, silently replaying a stale runner
+        record = ("U", "Y", "X", "R", "alive")
+        key = (np.asarray(ref, float).tobytes(),
+               ref.shape[0] if steps is None else steps, record)
         fn = self._runner_cache.get(key)
         if fn is None:
-            fn = self._runner_cache[key] = self.batched_runner(ref, steps)
+            fn = self._runner_cache[key] = self.batched_runner(
+                ref, steps, record=record)
         B = np.asarray(X0).shape[0]
         load_b = jnp.zeros((B, 2)) if load is None else jnp.asarray(load)
         out = fn(jnp.asarray(X0), load_b)

@@ -60,8 +60,9 @@ def make_load_observer(model, cfg):
     nfree = nw - 1 if pin_last else nw
     box_A = jnp.concatenate([jnp.eye(nfree), -jnp.eye(nfree)], axis=0)
     box_b = jnp.ones(2 * nfree)
+    slope = cfg.load_obs_slope          # |w_j - w_prev_j| <= slope (optional)
 
-    def estimate(ywin, uwin):
+    def estimate(ywin, uwin, what_prev=None):
         zetas = ywin[-(hor + 1):]              # (hor+1, nzeta) since nd==0
         us = uwin[-(hor + 1):]
         g = jax.vmap(basis.lift)(zetas[:-1])   # (hor, N)
@@ -80,18 +81,30 @@ def make_load_observer(model, cfg):
         resid = d - C[:, 0]
         P = 2.0 * Cw.T @ Cw + 1e-9 * jnp.eye(nfree, dtype=C.dtype)
         q = -2.0 * Cw.T @ resid
-        sol = solve_qp(P, q, box_A.astype(C.dtype), box_b.astype(C.dtype),
-                       iters=15)
+        Ac = box_A.astype(C.dtype)
+        bc = box_b.astype(C.dtype)
+        if slope is not None and what_prev is not None:
+            # slope constraint vs the previous estimate (``Kmpc.m:1341-1344``:
+            # with w0 = 1 the rows reduce to |w_j - w_prev_j| <= slope)
+            wp = what_prev[:nfree]
+            Ac = jnp.concatenate([Ac, jnp.eye(nfree, dtype=C.dtype),
+                                  -jnp.eye(nfree, dtype=C.dtype)], axis=0)
+            bc = jnp.concatenate([bc, slope + wp, slope - wp])
+        sol = solve_qp(P, q, Ac, bc, iters=15)
         w_free = jnp.where(sol.ok, sol.x, jnp.zeros_like(sol.x))
         if pin_last:
             return jnp.concatenate([w_free, jnp.zeros((1,), C.dtype)])
         return w_free
 
     def observer(k, ywin, uwin, what_prev):
-        w_new = estimate(ywin, uwin)
-        # warmup: need a full horizon of real data before trusting estimates
+        # warmup: need a full horizon of real data before trusting estimates.
+        # lax.cond (not where) so load_obs_period > 1 actually SKIPS the
+        # estimate QP on off-cadence steps -- k is shared across vmapped
+        # lanes (scan xs, unbatched), so the branch stays a real branch
         update = ((k % period) == 0) & (k > hor)
-        return jnp.where(update, w_new, what_prev)
+        return jax.lax.cond(update,
+                            lambda: estimate(ywin, uwin, what_prev),
+                            lambda: what_prev)
 
     observer.estimate = estimate
     observer.horizon = hor
@@ -127,7 +140,10 @@ def validate_observer(model, cfg, valtrial, sparse_period: int = 0) -> dict:
             continue
         ywin = jnp.asarray(y[i - hor: i + 1])
         uwin = jnp.asarray(u[i - hor: i + 1])
-        w_i = np.asarray(est_jit(ywin, uwin))
+        if cfg.load_obs_slope is not None:
+            w_i = np.asarray(est_jit(ywin, uwin, jnp.asarray(what[i])))
+        else:
+            w_i = np.asarray(est_jit(ywin, uwin))
         if sparse_period:
             history.append(w_i)          # running mean (Ksysid.m:2127-2128)
             what[i + 1] = np.mean(history, axis=0)

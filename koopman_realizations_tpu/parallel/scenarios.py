@@ -21,14 +21,16 @@ from jax import shard_map
 from koopman_realizations_tpu.parallel.mesh import pad_to_multiple
 
 
-def sharded_batch_runner(sim, ref, mesh, steps: Optional[int] = None):
+def sharded_batch_runner(sim, ref, mesh, steps: Optional[int] = None,
+                         record=("U", "Y", "R", "alive")):
     """Build fn(X0, W) running the closed loop with lanes sharded over
     ``data``.  X0: (B, nx), W: (B, nw_plant); B must divide evenly after
     padding (use ``run_batch_sharded`` for automatic padding).
-    Returns per-lane outputs with leading axis B.
+    Returns per-lane outputs with leading axis B.  ``record`` trims the
+    stacked per-step outputs (see ``Ksim.make_body``).
     """
     K = ref.shape[0] if steps is None else steps
-    body = sim.make_body(sim.prep_ref(ref))
+    body = sim.make_body(sim.prep_ref(ref), record=record)
     init0 = sim.init_carry()
     ks = jnp.arange(1, K)
 

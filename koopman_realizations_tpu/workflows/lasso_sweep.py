@@ -98,7 +98,9 @@ def lasso_sweep_closed_loop(ksysid, plant, mpc_cfg: MpcConfig, ref,
             x, y_sc, u_prev, U_plan, alive = carry
             with jax.default_matmul_precision("highest"):
                 z = basis.lift(y_sc)
-                refhor = jax.lax.dynamic_slice(ref_padded, (k, 0),
+                # 1-based step k: horizon starts at ref[k-1] 0-based
+                # (Ksim.m:198-199, same alignment as control.ksim)
+                refhor = jax.lax.dynamic_slice(ref_padded, (k - 1, 0),
                                                (Np + 1, nproj))
                 U, ok = bilinear_solve_pure(c, z, scaler.u_down(u_prev),
                                             refhor, U_plan, Np, m, nproj,

@@ -1,0 +1,67 @@
+"""Print blockM closed-loop parity vs the golden result structs.
+
+Runs the three controllers on CPU (x64 like the tests) and reports mean/max
+tracking error next to the golden values (VERDICT round-1 asked for NMPC
+transient ~0.0192; bilinear golden 0.0203; linear golden 0.743).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+from koopman_realizations_tpu.config import ArmConfig, MpcConfig, SysidConfig
+from koopman_realizations_tpu.control import Ksim, make_kmpc
+from koopman_realizations_tpu.models.arm import Arm
+from koopman_realizations_tpu.models.edmd import Ksysid
+from koopman_realizations_tpu.utils.matio import (
+    load_data4sysid,
+    load_ref_trajectory,
+    load_sim_results,
+)
+
+DATA = "/root/reference/datafiles/arm-3link-markers-noload-50trials_train-10_val-5.mat"
+REF = "/root/reference/trajectories/files/blockM_c0p45-0p35_0p5x0p5_15sec.mat"
+GOLD = ("/root/reference/systems/thesis-arm-markers_noload_3-mods_1-links_20hz/"
+        "simulations/blockM_c0p45-0p35_0p5x0p5_15sec/")
+GOLD_FILES = {
+    "linear": "linear_poly-3_n-6_m-3_del-0_2020-06-09_16-42.mat",
+    "bilinear": "bilinear_poly-3_n-6_m-3_del-0_2020-06-09_16-43.mat",
+    "nonlinear": "nonlinear_poly-3_n-6_m-3_del-0_2020-06-13_14-10.mat",
+}
+
+
+def main():
+    ds = load_data4sysid(DATA)
+    ref = load_ref_trajectory(REF)
+    cfg = MpcConfig(
+        horizon=10,
+        input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
+        input_slopeConst=1e-1,
+        cost_running=10.0, cost_terminal=100.0,
+        cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2),
+        proj_idx=(4, 5),
+    )
+    arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
+                        output_type="markers", substeps=5))
+    which = sys.argv[1:] or ["linear", "bilinear", "nonlinear"]
+    for mt in which:
+        ks = Ksysid(ds, SysidConfig(model_type=mt, obs_type=("poly",),
+                                    obs_degree=(3,), dim_red=True)).train_models()
+        sim = Ksim(arm, make_kmpc(ks.model, ks.scaler, cfg))
+        res = sim.run_trial_mpc(ref["y"])
+        gold = load_sim_results(GOLD + GOLD_FILES[mt])
+        print(f"{mt:10s} mean {res['err'].mean():.4f} (gold {gold['err'].mean():.4f})"
+              f"  max {res['err'].max():.4f} (gold {gold['err'].max():.4f})"
+              f"  alive {res['alive'].all()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -114,3 +114,27 @@ def test_observer_recovers_load_and_improves_tracking(loaded_setup):
     assert res1["err"].mean() < res0["err"].mean() * 0.8
     # absolute quality in the class of the golden loaded results (0.02-0.04)
     assert res1["err"].mean() < 0.1
+
+
+def test_observer_slope_constraint(loaded_setup):
+    """``load_obs_slope``: each update moves the estimate at most +-slope
+    from the previous one (``Kmpc.m:1336-1345``, reference value 0.01)."""
+    import dataclasses
+
+    arm, ks = loaded_setup
+    slope = 0.05
+    cfg = dataclasses.replace(_mpc_cfg(), load_obs_slope=slope)
+    mpc = make_kmpc(ks.model, ks.scaler, cfg)
+    obs = make_load_observer(ks.model, cfg)
+
+    circle = get_circle([0.0, -0.7], 0.3)
+    ref = make_trajectory(circle, T=15.0, Ts=0.05, flip_y=True,
+                          preamble_from=(0.0, 1.0))
+    res = Ksim(arm, mpc, observer=obs).run_trial_mpc(
+        ref["y"], load=np.array([0.9, -0.6]), steps=200)
+    assert res["alive"].all()
+    # What is recorded in scaled space == estimate space here (w in [-1,1])
+    dW = np.abs(np.diff(res["What"], axis=0))
+    assert dW.max() <= slope + 1e-6
+    # slope-limited estimates must still converge toward a useful load
+    assert np.abs(res["What"][-1]).max() > 0.1
