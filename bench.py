@@ -66,7 +66,10 @@ def main():
     X0[:, 0] = np.linspace(-0.2, 0.2, batch)
     W = np.zeros((batch, 2), np.float32)
 
-    runner = sim.batched_runner(ref["y"], steps=steps)
+    # benchmark records only what the metric needs: stacking the full X/Z
+    # trails costs HBM bandwidth the loop never reads back (the B>8192 cliff)
+    runner = sim.batched_runner(ref["y"], steps=steps,
+                                record=("Y", "R", "alive"))
     # warmup / compile
     out = runner(X0, W)
     jax.block_until_ready(out)

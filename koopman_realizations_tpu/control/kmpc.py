@@ -182,7 +182,7 @@ class _KmpcBase:
         Replaces the reference's tacked-on equality rows (``Kmpc.m:374-379``).
         """
         m = self.m
-        P11, P12, P22 = P[:m, :m], P[:m, m:], P[m:, m:]
+        P22 = P[m:, m:]
         fz = f[m:] + P[m:, :m] @ u0
         Az = A[:, m:]
         bz = b - A[:, :m] @ u0
@@ -259,7 +259,8 @@ class LinearKmpc(_KmpcBase):
         Pz, fz, Az, bz = self._eliminate_u0(P, f, self.L, b, u_prev)
         sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
                        x0=self._warm_start(u_prev, U_init),
-                       shared_A=self.cfg.state_bounds is None)
+                       shared_A=self.cfg.state_bounds is None,
+                       backend=self.cfg.qp_backend)
         return self._assemble_U(u_prev, sol.x), sol.ok
 
 
@@ -365,7 +366,8 @@ class BilinearKmpc(_KmpcBase):
             Pz, fz, Az, bz = self._eliminate_u0(P, f, L, b, u_prev)
             sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
                            x0=self._warm_start(u_prev, U_init),
-                           shared_A=self.cfg.state_bounds is None)
+                           shared_A=self.cfg.state_bounds is None,
+                           backend=self.cfg.qp_backend)
             U, ok = self._assemble_U(u_prev, sol.x), sol.ok
             if it + 1 == iters:
                 break
@@ -486,7 +488,8 @@ class NonlinearKmpc(_KmpcBase):
             Pz, fz, Az, bz = self._eliminate_u0(2.0 * H, f, L, b, u_prev)
             sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
                            x0=Ul[1:].reshape(-1),
-                           shared_A=self.cfg.state_bounds is None)
+                           shared_A=self.cfg.state_bounds is None,
+                           backend=self.cfg.qp_backend)
             U, ok = self._assemble_U(u_prev, sol.x), sol.ok
             # nonlinear re-rollout for the next SQP pass
             def roll(zc, u):

@@ -1,0 +1,249 @@
+"""Pallas TPU kernel: the ENTIRE batched Mehrotra interior-point QP solver.
+
+The closed loop's dominant cost is the per-step MPC QP (``ops.qp.solve_qp``
+vmapped over thousands of scenario lanes): ~10 fixed iterations, each one
+SPD Newton factor + two triangular solve pairs on tiny (n ~ 27) systems.
+Under plain vmap those arrays live batch-MAJOR -- (B, n, n) tiles pad the
+27x27 minor dims up to (32, 128) vector registers, wasting ~5x of every VPU
+op and bouncing iterates through HBM between scan steps.
+
+This kernel runs the whole fixed-iteration predictor-corrector loop in
+lanes-MINOR layout: a tile of 128 lanes occupies the 128-wide lane dimension,
+matrices are (n, n, 128) VMEM blocks, and every factorization/substitution
+step is a perfectly aligned (n, 128) VPU op.  The Newton matrix forms as ONE
+MXU contraction (n^2, mc) @ (mc, 128) over precomputed constraint-row outer
+products (the lane-shared-A case: every MPC lane shares its constraint rows,
+only P, q, b, warm start differ).  All 10 iterations run without touching
+HBM.
+
+Semantics match ``ops.qp._solve_qp_impl`` (itself the batched stand-in for
+MATLAB ``quadprog`` per control step, ``Kmpc.m:383/:883``): same
+equilibration, regularization, mu floor, step rule, and ok criteria.
+
+API: ``solve_qp_shared_batched(P, q, A, b, x0, iters=..., warm=...)`` with
+P (B, n, n), q (B, n), b (B, mc) per-lane and A (mc, n) lane-shared.
+Use ``interpret=True`` on CPU (tests); on TPU it compiles via Mosaic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_TILE = 128
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    """MXU matmul with full f32 accumulation (bf16 inputs would destroy the
+    1e-14..1e14 dynamic range of the scaled slack/multiplier ratios)."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _chol_lanes(M, n):
+    """Lower Cholesky of (n, n, T) lanes-minor SPD blocks, unrolled over n."""
+    cols = []
+    for j in range(n):
+        # exact sqrt + divide, NOT lax.rsqrt: the VPU's approximate
+        # reciprocal-sqrt loses enough bits per factorization step to
+        # destabilize isolated closed-loop lanes vs the pure-JAX path
+        d = jnp.sqrt(M[j, j, :])
+        col = M[:, j, :] / d[None, :]                  # (n, T)
+        cols.append(col)
+        M = M - col[:, None, :] * col[None, :, :]      # rank-1 downdate
+    L = jnp.stack(cols, axis=1)                        # (n, n, T)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    colx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return L * (row >= colx).astype(L.dtype)[..., None]
+
+
+def _chol_solve_lanes(L, rhs, n):
+    """Solve L L^T x = rhs; column-oriented so every step is an (n, T) FMA."""
+    acc = rhs                                          # forward: L y = rhs
+    ys = []
+    for k in range(n):
+        yk = acc[k] / L[k, k, :]
+        ys.append(yk)
+        if k + 1 < n:
+            acc = acc - L[:, k, :] * yk[None, :]       # rows <= k junk, unused
+    acc = jnp.stack(ys, axis=0)                        # backward: L^T x = y
+    xs = [None] * n
+    for i in reversed(range(n)):
+        xi = acc[i] / L[i, i, :]
+        xs[i] = xi
+        if i > 0:
+            acc = acc - L[i, :, :] * xi[None, :]       # acc[j] -= L[i,j] x_i
+    return jnp.stack(xs, axis=0)
+
+
+def _ipm_kernel(n, mc, iters, slack_floor,
+                P_ref, q_ref, b_ref, x0_ref, iobj_ref, A_ref, At_ref, OT_ref,
+                x_ref, s_ref, lam_ref):
+    """One 128-lane tile: full fixed-iteration Mehrotra predictor-corrector.
+
+    All inputs pre-equilibrated except P (scaled in-VMEM by iobj); shapes:
+    P (n, n, T), q/x0 (n, T), b (mc, T), iobj (1, T), A (mc, n) shared,
+    At = A^T, OT (n*n, mc) = flattened row outer products a_c a_c^T.
+    """
+    T = LANE_TILE
+    reg = jnp.float32(1e-7)
+    mu_floor = jnp.float32(1e-8)
+
+    iobj = iobj_ref[0, :]                              # (T,)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+           ).astype(jnp.float32)
+    Pr = P_ref[...] * iobj[None, None, :] + reg * eye[..., None]
+    q = q_ref[...]
+    b = b_ref[...]
+    A = A_ref[...]
+    At = At_ref[...]
+    OT = OT_ref[...]
+
+    def matvec_P(v):                                   # (n, T)
+        acc = Pr[:, 0, :] * v[0][None, :]
+        for j in range(1, n):
+            acc = acc + Pr[:, j, :] * v[j][None, :]
+        return acc
+
+    x0 = x0_ref[...]
+    s0 = jnp.maximum(b - _dot(A, x0), jnp.float32(slack_floor))
+    lam0 = jnp.ones((mc, T), jnp.float32)
+
+    def max_step(v, dv):
+        ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+        return jnp.minimum(1.0, 0.99 * jnp.min(ratio, axis=0))   # (T,)
+
+    def body(_, carry):
+        x, s, lam = carry
+        mu = jnp.sum(s * lam, axis=0) / mc                       # (T,)
+        r_p = _dot(A, x) + s - b                                 # (mc, T)
+        r_d = matvec_P(x) + q + _dot(At, lam)                    # (n, T)
+        active = (mu > mu_floor) | (jnp.max(jnp.abs(r_p), axis=0) > mu_floor)
+
+        # one factor per iteration, shared by predictor + corrector
+        D = jnp.clip(lam / s, 1e-14, 1e14)                       # (mc, T)
+        M = Pr + _dot(OT, D).reshape(n, n, T)
+        L = _chol_lanes(M, n)
+
+        def direction(r_slam):
+            rhs = -r_d - _dot(At, (-r_slam + lam * r_p) / s)
+            dx = _chol_solve_lanes(L, rhs, n)
+            ds = -r_p - _dot(A, dx)
+            dlam = (-r_slam - lam * ds) / s
+            return dx, ds, dlam
+
+        dx_a, ds_a, dlam_a = direction(s * lam)
+        alpha_a = jnp.minimum(max_step(s, ds_a), max_step(lam, dlam_a))
+        mu_aff = jnp.sum((s + alpha_a[None] * ds_a)
+                         * (lam + alpha_a[None] * dlam_a), axis=0) / mc
+        sigma = (mu_aff / (mu + 1e-30)) ** 3
+
+        dx, ds, dlam = direction(s * lam + ds_a * dlam_a - (sigma * mu)[None])
+        alpha = jnp.where(active,
+                          jnp.minimum(max_step(s, ds), max_step(lam, dlam)),
+                          0.0)[None]
+        step = lambda v, dv: jnp.where(jnp.isfinite(dv), v + alpha * dv, v)
+        return step(x, dx), step(s, ds), step(lam, dlam)
+
+    x, s, lam = jax.lax.fori_loop(0, iters, body, (x0, s0, lam0))
+    x_ref[...] = x
+    s_ref[...] = s
+    lam_ref[...] = lam
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "interpret", "tol", "gap_sane"))
+def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
+                            interpret: bool = False,
+                            tol: float = 3e-3, gap_sane: float = 5e-2):
+    """Batched lane-shared-A interior-point solve; returns (x, lam, ok, gap).
+
+    P (B, n, n), q (B, n), b (B, mc) per-lane; A (mc, n) SHARED across the
+    batch; x0 (B, n) optional warm start.  Matches ``ops.qp.solve_qp``
+    semantics lane-for-lane (same equilibration/regularization/ok rules).
+    """
+    P = jnp.asarray(P, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    A = jnp.asarray(A, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    B, n = q.shape
+    mc = A.shape[0]
+
+    # equilibration (ops.qp._solve_qp_impl): per-lane objective scale,
+    # shared constraint-row scale
+    obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(1, 2)), 1e-8)    # (B,)
+    iobj = (1.0 / obj)
+    row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)        # (mc,)
+    A_eq = A / row[:, None]
+    b_eq = b / row[None, :]
+    q_eq = q * iobj[:, None]
+
+    # cold starts need a well-centered slack; warm starts keep their head
+    # start (same rule as ops.qp._solve_qp_impl)
+    slack_floor = 1.0 if x0 is None else 1e-2
+    if x0 is None:
+        x0 = jnp.zeros((B, n), jnp.float32)
+    x0 = jnp.asarray(x0, jnp.float32)
+
+    OT = jnp.einsum("ci,cj->ijc", A_eq, A_eq).reshape(n * n, mc)
+    At = A_eq.T
+
+    pad = (-B) % LANE_TILE
+    if pad:
+        P = jnp.concatenate(
+            [P, jnp.tile(jnp.eye(n, dtype=P.dtype)[None], (pad, 1, 1))], 0)
+        q_eq = jnp.concatenate([q_eq, jnp.zeros((pad, n), q.dtype)], 0)
+        b_eq = jnp.concatenate([b_eq, jnp.ones((pad, mc), b.dtype)], 0)
+        x0 = jnp.concatenate([x0, jnp.zeros((pad, n), x0.dtype)], 0)
+        iobj = jnp.concatenate([iobj, jnp.ones((pad,), iobj.dtype)], 0)
+    Bp = q_eq.shape[0]
+
+    Pt = P.transpose(1, 2, 0)            # (n, n, Bp) lanes-minor
+    qt = q_eq.T
+    bt = b_eq.T
+    x0t = x0.T
+    iobjt = iobj[None, :]                # (1, Bp)
+
+    kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor)
+    lane2 = lambda r: pl.BlockSpec((r, LANE_TILE), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    xt, st, lamt = pl.pallas_call(
+        kern,
+        grid=(Bp // LANE_TILE,),
+        in_specs=[
+            pl.BlockSpec((n, n, LANE_TILE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            lane2(n), lane2(mc), lane2(n), lane2(1),
+            shared(mc, n), shared(n, mc), shared(n * n, mc),
+        ],
+        out_specs=[lane2(n), lane2(mc), lane2(mc)],
+        out_shape=[jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32)],
+        interpret=interpret,
+    )(Pt, qt, bt, x0t, iobjt, A_eq, At, OT)
+
+    x = xt.T[:B]
+    s = st.T[:B]
+    lam = lamt.T[:B]
+
+    # ok / gap on the equilibrated problem, exactly as the pure-JAX path
+    with jax.default_matmul_precision("highest"):
+        gap = jnp.sum(s * lam, axis=1) / mc
+        r_p = jnp.max(jnp.maximum(x @ A_eq.T - b_eq[:B], 0.0), axis=1)
+        finite = jnp.all(jnp.isfinite(x), axis=1)
+        ok = finite & (gap < gap_sane) \
+            & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b_eq[:B]), axis=1), 1.0))
+        x = jnp.where(finite[:, None], x, jnp.nan)
+        lam_orig = lam * obj[:, None] / row[None, :]
+    return x, lam_orig, ok, gap

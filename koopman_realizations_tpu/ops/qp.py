@@ -31,9 +31,9 @@ class QPSolution(NamedTuple):
     gap: jnp.ndarray     # final complementarity gap
 
 
-@partial(jax.jit, static_argnames=("iters", "shared_A"))
+@partial(jax.jit, static_argnames=("iters", "shared_A", "backend"))
 def solve_qp(P, q, A, b, iters: int = 25, x0=None,
-             shared_A: bool = False) -> QPSolution:
+             shared_A: bool = False, backend: str = "auto") -> QPSolution:
     """Interior-point solve of min 1/2 x'Px + q'x s.t. Ax <= b.
 
     P must be symmetric PSD (the MPC Hessian is PSD by construction; a small
@@ -43,17 +43,83 @@ def solve_qp(P, q, A, b, iters: int = 25, x0=None,
     feasible set a narrow band far from the origin.
 
     ``shared_A`` promises that A is NOT batched under an enclosing vmap
-    (lane-shared constraint rows, the no-state-bounds MPC case): the Newton
-    matrix then forms as one (B, mc) @ (mc, n^2) GEMM over precomputed row
-    outer products instead of per-lane rescale-and-multiply -- an MXU-shaped
-    contraction.  Do not set it when A varies per lane (the outer-product
-    tensor would be materialized per lane).
+    (lane-shared constraint rows, the no-state-bounds MPC case).  Unbatched,
+    the Newton matrix then forms as one (B, mc) @ (mc, n^2) GEMM over
+    precomputed row outer products -- an MXU-shaped contraction.  Under vmap
+    on TPU (f32) the whole solve instead routes to the lanes-minor Pallas
+    kernel (``ops.pallas.qp_ipm``), which runs all iterations in VMEM with
+    the batch on the 128-wide lane axis.  Do not set shared_A when A varies
+    per lane.
+
+    ``backend``: 'auto' (Pallas when batched + shared_A + f32 + TPU) or
+    'jax' (force the pure-JAX path everywhere).
 
     # the Newton systems need true f32 accumulation: TPU matmuls default to
     # bf16 inputs, which stalls convergence (batched lanes flag not-ok)
     """
     with jax.default_matmul_precision("highest"):
+        use_pallas = (shared_A and backend != "jax"
+                      and jnp.asarray(P).dtype == jnp.float32
+                      and jax.default_backend() in ("tpu", "axon"))
+        if use_pallas:
+            warm = x0 is not None
+            if x0 is None:
+                x0 = jnp.zeros(q.shape, jnp.float32)
+            f = _pallas_routed_solver(iters, warm)
+            x, lam, ok, gap = f(jnp.asarray(P, jnp.float32),
+                                jnp.asarray(q, jnp.float32),
+                                jnp.asarray(A, jnp.float32),
+                                jnp.asarray(b, jnp.float32),
+                                jnp.asarray(x0, jnp.float32))
+            return QPSolution(x=x, lam=lam, ok=ok, gap=gap)
         return _solve_qp_impl(P, q, A, b, iters, x0, shared_A)
+
+
+_ROUTED_CACHE = {}
+
+
+def _pallas_routed_solver(iters: int, warm: bool):
+    """custom_vmap'd shared-A solver: unbatched calls use the pure-JAX path;
+    vmapped calls (the closed-loop scenario batch) hit the lanes-minor Pallas
+    kernel with the whole batch at once.  Cached per (iters, warm)."""
+    key = (iters, warm)
+    f = _ROUTED_CACHE.get(key)
+    if f is not None:
+        return f
+    from jax.custom_batching import custom_vmap
+
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_shared_batched,
+    )
+
+    def _pure(P, q, A, b, x0):
+        sol = _solve_qp_impl(P, q, A, b, iters, x0 if warm else None, True)
+        return sol.x, sol.lam, sol.ok, sol.gap
+
+    @custom_vmap
+    def solve(P, q, A, b, x0):
+        return _pure(P, q, A, b, x0)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, P, q, A, b, x0):
+        Pb, qb, Ab, bb, xb = in_batched
+        if Ab:
+            # constraint rows vary per lane (e.g. a candidate-model axis):
+            # the lane-shared kernel does not apply, fall back to plain vmap
+            out = jax.vmap(_pure, in_axes=(0 if Pb else None,
+                                           0 if qb else None, 0,
+                                           0 if bb else None,
+                                           0 if xb else None))(P, q, A, b, x0)
+            return out, (True, True, True, True)
+        bc = lambda v, vb: v if vb else \
+            jnp.broadcast_to(v[None], (axis_size,) + v.shape)
+        x, lam, ok, gap = solve_qp_shared_batched(
+            bc(P, Pb), bc(q, qb), A, bc(b, bb),
+            x0=bc(x0, xb) if warm else None, iters=iters)
+        return (x, lam, ok, gap), (True, True, True, True)
+
+    _ROUTED_CACHE[key] = solve
+    return solve
 
 
 def _solve_qp_impl(P, q, A, b, iters, x0, shared_A):
@@ -64,6 +130,24 @@ def _solve_qp_impl(P, q, A, b, iters, x0, shared_A):
     n = q.shape[-1]
     mc = b.shape[-1]
     dtype = P.dtype
+
+    from koopman_realizations_tpu.ops.batch_linalg import (
+        chol_solve_unrolled,
+        chol_unrolled,
+    )
+
+    if mc == 0:
+        # unconstrained QP (all MpcConfig constraints None): quadprog with
+        # empty A just solves P x = -q; the IPM reductions over zero rows
+        # would be 0/0, so solve the Newton system directly
+        obj_scale = jnp.maximum(jnp.max(jnp.abs(P)), 1e-8)
+        reg = 1e-11 if dtype == jnp.float64 else 1e-7
+        L = chol_unrolled(P / obj_scale + reg * jnp.eye(n, dtype=dtype))
+        x = chol_solve_unrolled(L, -q / obj_scale)
+        ok = jnp.all(jnp.isfinite(x))
+        return QPSolution(x=jnp.where(ok, x, jnp.nan),
+                          lam=jnp.zeros((0,), dtype), ok=ok,
+                          gap=jnp.zeros((), dtype))
 
     # equilibrate: normalize the objective scale and constraint rows so the
     # interior-point tolerances are absolute (MPC Hessians scale with the
@@ -76,7 +160,6 @@ def _solve_qp_impl(P, q, A, b, iters, x0, shared_A):
     b = b / row
 
     # primal regularization: keeps the Newton system SPD when P is singular
-    scale = jnp.asarray(1.0, dtype)
     reg = 1e-11 if dtype == jnp.float64 else 1e-7
     Pr = P + reg * jnp.eye(n, dtype=dtype)
 
@@ -87,31 +170,9 @@ def _solve_qp_impl(P, q, A, b, iters, x0, shared_A):
     s0 = jnp.maximum(b - A @ x0, slack_floor)
     lam0 = jnp.ones((mc,), dtype)
 
-    from koopman_realizations_tpu.ops.batch_linalg import (
-        chol_solve_unrolled,
-        chol_unrolled,
-    )
-
     if shared_A:
         # row outer products a_c a_c^T flattened: (mc, n*n); lane-shared
         O_flat = jnp.einsum("ci,cj->cij", A, A).reshape(mc, n * n)
-
-    def newton_rhs(x, s, lam, r_slam):
-        r_d = Pr @ x + q + A.T @ lam
-        r_p = A @ x + s - b
-        D = jnp.clip(lam / s, 1e-14, 1e14)
-        if shared_A:
-            M = Pr + (D @ O_flat).reshape(n, n)
-        else:
-            M = Pr + (A.T * D) @ A
-        # unrolled small-matrix Cholesky: XLA's batched lapack-style path is
-        # the throughput bottleneck of the whole closed loop on TPU
-        L = chol_unrolled(M)
-        rhs = -r_d - A.T @ ((-r_slam + lam * r_p) / s)
-        dx = chol_solve_unrolled(L, rhs)
-        ds = -r_p - A @ dx
-        dlam = (-r_slam - lam * ds) / s
-        return dx, ds, dlam
 
     def max_step(v, dv):
         # largest alpha in (0,1] with v + alpha dv >= (1-tau) v
@@ -120,24 +181,42 @@ def _solve_qp_impl(P, q, A, b, iters, x0, shared_A):
 
     # once the gap is at the numerical floor, further Newton systems go
     # singular (s*lam denormal) -- freeze converged iterates instead.
-    mu_floor = (1e-13 if dtype == jnp.float64 else 1e-8) * scale
+    mu_floor = 1e-13 if dtype == jnp.float64 else 1e-8
 
     def body(carry, _):
         x, s, lam = carry
         mu = (s @ lam) / mc
-        r_p_norm = jnp.max(jnp.abs(A @ x + s - b))
-        active = (mu > mu_floor) | (r_p_norm > mu_floor)
+        r_p = A @ x + s - b
+        r_d = Pr @ x + q + A.T @ lam
+        active = (mu > mu_floor) | (jnp.max(jnp.abs(r_p)) > mu_floor)
+
+        # the Newton matrix depends only on D = lam/s, so it is factored ONCE
+        # per iteration and the factor reused for the predictor and corrector
+        # directions (quadprog's predictor-corrector does the same)
+        D = jnp.clip(lam / s, 1e-14, 1e14)
+        if shared_A:
+            M = Pr + (D @ O_flat).reshape(n, n)
+        else:
+            M = Pr + (A.T * D) @ A
+        # unrolled small-matrix Cholesky: XLA's batched lapack-style path is
+        # the throughput bottleneck of the whole closed loop on TPU
+        L = chol_unrolled(M)
+
+        def direction(r_slam):
+            rhs = -r_d - A.T @ ((-r_slam + lam * r_p) / s)
+            dx = chol_solve_unrolled(L, rhs)
+            ds = -r_p - A @ dx
+            dlam = (-r_slam - lam * ds) / s
+            return dx, ds, dlam
 
         # affine (predictor) direction
-        r_slam_aff = s * lam
-        dx_a, ds_a, dlam_a = newton_rhs(x, s, lam, r_slam_aff)
+        dx_a, ds_a, dlam_a = direction(s * lam)
         alpha_a = jnp.minimum(max_step(s, ds_a), max_step(lam, dlam_a))
         mu_aff = ((s + alpha_a * ds_a) @ (lam + alpha_a * dlam_a)) / mc
         sigma = (mu_aff / (mu + 1e-30)) ** 3
 
         # corrector direction
-        r_slam = s * lam + ds_a * dlam_a - sigma * mu
-        dx, ds, dlam = newton_rhs(x, s, lam, r_slam)
+        dx, ds, dlam = direction(s * lam + ds_a * dlam_a - sigma * mu)
         alpha = jnp.where(active,
                           jnp.minimum(max_step(s, ds), max_step(lam, dlam)), 0.0)
         step = lambda v, dv: jnp.where(jnp.isfinite(dv), v + alpha * dv, v)

@@ -1,0 +1,108 @@
+"""Lanes-minor Pallas IPM kernel vs the pure-JAX interior-point path.
+
+Runs the full batched Mehrotra kernel in interpreter mode (CPU) on random
+MPC-shaped QPs and checks lane-for-lane agreement with ``ops.qp.solve_qp``
+(same equilibration/regularization/step rules, so solutions should agree to
+f32 roundoff, not just to solver tolerance).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koopman_realizations_tpu.ops.pallas.qp_ipm import solve_qp_shared_batched
+from koopman_realizations_tpu.ops.qp import solve_qp
+
+
+def _random_qps(B, n, mc, seed=0):
+    rng = np.random.default_rng(seed)
+    G = rng.normal(size=(B, n, n)).astype(np.float32)
+    P = np.einsum("bij,bkj->bik", G, G) / n + 0.5 * np.eye(n, dtype=np.float32)
+    q = rng.normal(size=(B, n)).astype(np.float32)
+    A = rng.normal(size=(mc, n)).astype(np.float32)
+    # keep the origin strictly feasible so every lane has an interior
+    b = (np.abs(rng.normal(size=(B, mc))) + 0.5).astype(np.float32)
+    return jnp.asarray(P), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b)
+
+
+def _pure_batch(P, q, A, b, x0, iters):
+    f = lambda Pi, qi, bi, x0i: solve_qp(Pi, qi, A, bi, iters=iters, x0=x0i,
+                                         shared_A=True)
+    return jax.vmap(f)(P, q, b, x0)
+
+
+@pytest.mark.parametrize("B,n,mc", [(64, 12, 30), (130, 27, 108)])
+def test_kernel_matches_pure_path(B, n, mc):
+    P, q, A, b = _random_qps(B, n, mc, seed=B + n)
+    x0 = jnp.zeros((B, n), jnp.float32)
+    # 20 iterations so both solvers CONVERGE on every lane: comparing
+    # mid-trajectory fixed-iteration states is chaotic near active-set
+    # boundaries, converged endpoints are not
+    iters = 20
+
+    x_k, lam_k, ok_k, gap_k = solve_qp_shared_batched(
+        P, q, A, b, x0=x0, iters=iters, interpret=True)
+    sol = _pure_batch(P, q, A, b, x0, iters)
+
+    # converged f64 oracle: the ground truth both f32 solvers approximate
+    f64 = lambda Pi, qi, bi: solve_qp(
+        jnp.asarray(Pi, jnp.float64), jnp.asarray(qi, jnp.float64),
+        jnp.asarray(A, jnp.float64), jnp.asarray(bi, jnp.float64), iters=40)
+    ref = jax.vmap(f64)(P, q, b)
+
+    ok_both = np.asarray(ok_k) & np.asarray(sol.ok)
+    assert ok_both.mean() > 0.95          # well-posed random QPs solve
+    # identical algorithm, different op ordering (rsqrt vs sqrt-divide, MXU
+    # contraction order): lanes agree to roundoff except near active-set
+    # boundaries where f32 differences amplify to solver tolerance.  The
+    # kernel must be AT LEAST as accurate as the pure f32 path vs the oracle.
+    dk = np.abs(np.asarray(x_k) - np.asarray(ref.x))[ok_both]
+    dp = np.abs(np.asarray(sol.x) - np.asarray(ref.x))[ok_both]
+    assert np.median(dk) < 1e-4
+    assert dk.max() < 5e-3
+    assert dk.max() < dp.max() * 2.0 + 1e-4
+    dx = np.abs(np.asarray(x_k) - np.asarray(sol.x))[ok_both]
+    assert np.median(dx) < 1e-4
+    # multipliers back in original units (same amplification caveat)
+    dl = np.abs(np.asarray(lam_k) - np.asarray(sol.lam))[ok_both]
+    assert np.median(dl) < 1e-3 * max(1.0, np.abs(np.asarray(sol.lam)).max())
+
+
+def test_kernel_warm_start_and_failure_mask():
+    B, n, mc = 64, 8, 20
+    P, q, A, b = _random_qps(B, n, mc, seed=3)
+    # warm start from the cold solution: must stay at the optimum
+    x_c, _, ok_c, _ = solve_qp_shared_batched(P, q, A, b, iters=12,
+                                              interpret=True)
+    x_w, _, ok_w, _ = solve_qp_shared_batched(P, q, A, b, x0=x_c, iters=6,
+                                              interpret=True)
+    m = np.asarray(ok_c) & np.asarray(ok_w)
+    assert m.mean() > 0.95
+    assert np.abs(np.asarray(x_w) - np.asarray(x_c))[m].max() < 5e-3
+
+    # an infeasible lane (contradictory rows) flags not-ok, finite lanes keep
+    A_bad = np.asarray(A).copy()
+    A_bad[0] = 1.0
+    A_bad[1] = -1.0
+    b_bad = np.asarray(b).copy()
+    b_bad[:, 0] = -2.0    # x.sum() <= -2  AND  -x.sum() <= b1>0 -> infeasible
+    b_bad[:, 1] = -2.0
+    _, _, ok_bad, _ = solve_qp_shared_batched(
+        jnp.asarray(P), jnp.asarray(q), jnp.asarray(A_bad),
+        jnp.asarray(b_bad), iters=12, interpret=True)
+    assert not np.asarray(ok_bad).any()
+
+
+def test_kernel_nonmultiple_batch_padding():
+    B, n, mc = 37, 10, 24          # B far from a lane-tile multiple
+    P, q, A, b = _random_qps(B, n, mc, seed=11)
+    x0 = jnp.zeros((B, n), jnp.float32)
+    x_k, _, ok_k, _ = solve_qp_shared_batched(P, q, A, b, x0=x0, iters=10,
+                                              interpret=True)
+    sol = _pure_batch(P, q, A, b, x0, 10)
+    m = np.asarray(ok_k) & np.asarray(sol.ok)
+    assert m.mean() > 0.9
+    dx = np.abs(np.asarray(x_k) - np.asarray(sol.x))[m]
+    assert np.median(dx) < 1e-4
+    assert dx.max() < 5e-3
