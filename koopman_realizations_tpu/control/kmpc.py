@@ -264,6 +264,101 @@ class LinearKmpc(_KmpcBase):
         return self._assemble_U(u_prev, sol.x), sol.ok
 
 
+def bilinear_consts(mpc: "BilinearKmpc") -> dict:
+    """Pytree of per-model constants for ``bilinear_solve_pure``.
+
+    Stacking these over a candidate axis (jax.tree_map + stack) lets a whole
+    lasso sweep's controllers run as ONE vmapped closed loop
+    (``workflows.lasso_sweep``).
+    """
+    c = {
+        "Bm": mpc.model.B,            # (NL, m, NL)
+        "A": mpc.powers[1],           # (NL, NL) -- for iters>1 re-rolls
+        "PA": mpc.PA,                 # (Np+1, p, NL)
+        "EA": mpc.EA,
+        "Fj": mpc.Fj, "cFj": mpc.cFj,
+        "Qd": mpc.Qd, "Rd": mpc.Rd,
+        "tidx": mpc._tidx, "tvalid": mpc._tvalid,
+    }
+    if mpc._sb_lo is not None:
+        c["sb_lo"] = mpc._sb_lo
+        c["sb_hi"] = mpc._sb_hi
+    return c
+
+
+def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
+                        m: int, n: int, nproj: int, qp_iters: int,
+                        iters: int = 1, warm: bool = True,
+                        backend: str = "auto"):
+    """Stateless iter-relinearized bilinear MPC solve
+    (``get_mpcInput_bilinear_iter:817-904``); the single implementation
+    behind both ``BilinearKmpc.solve`` and the vmapped lasso sweep.
+
+    c: constants pytree from ``bilinear_consts`` (state bounds present iff
+    the keys exist); z (NL,) lifted state; u_prev (m,) scaled; refhor scaled
+    reference window; U_init previous plan (Np, m) or None.
+    """
+    has_sb = "sb_lo" in c
+    ref = _pad_ref(refhor, Np, nproj)
+    Yr = ref.reshape(-1)
+
+    def block_toeplitz(proj_powers, Beta_j):
+        # blocks (i, j) = proj_powers[i-1-j] @ Beta_j[j]; r in {nproj, n}
+        g = jnp.einsum("ijrb,jbm->ijrm", proj_powers[c["tidx"]], Beta_j)
+        g = jnp.where(c["tvalid"][:, :, None, None], g, 0.0)
+        r = proj_powers.shape[1]
+        return g.transpose(0, 2, 1, 3).reshape((Np + 1) * r, Np * m)
+
+    def qp_data(zhor):
+        Beta_j = jnp.einsum("kmj,pj->pkm", c["Bm"], zhor)    # (Np, NL, m)
+        CB = block_toeplitz(c["PA"], Beta_j)
+        CAz = (c["PA"] @ z).reshape(-1)
+        H = CB.T @ (c["Qd"][:, None] * CB) + jnp.diag(c["Rd"])
+        f = 2.0 * CB.T @ (c["Qd"] * (CAz - Yr))
+        L = c["Fj"]
+        b = c["cFj"]
+        if has_sb:
+            # k = 2..Np blocks only; k=0 is the fixed state and k=1 depends
+            # only on the pinned u_0 (see state_constraint_rows)
+            EW = block_toeplitz(c["EA"], Beta_j)[2 * n:]
+            zn = (c["EA"] @ z).reshape(-1)[2 * n:]
+            L = jnp.concatenate([L, -EW, EW], axis=0)
+            b = jnp.concatenate([
+                b,
+                -jnp.tile(c["sb_lo"], Np - 1) + zn,
+                jnp.tile(c["sb_hi"], Np - 1) - zn,
+            ])
+        return 2.0 * H, f, L, b
+
+    if U_init is None:
+        x0 = jnp.tile(u_prev, Np - 1)
+    else:
+        x0 = jnp.concatenate([U_init[2:], U_init[-1:]], axis=0).reshape(-1)
+
+    zhor = jnp.tile(z[None, :], (Np, 1))
+    U, ok = None, None
+    for it in range(iters):
+        P, f, L, b = qp_data(zhor)
+        Pz = P[m:, m:]
+        fz = f[m:] + P[m:, :m] @ u_prev
+        Az = L[:, m:]
+        bz = b - L[:, :m] @ u_prev
+        sol = solve_qp(Pz, fz, Az, bz, iters=qp_iters,
+                       x0=x0 if warm else None, shared_A=not has_sb,
+                       backend=backend)
+        U, ok = jnp.concatenate([u_prev, sol.x]).reshape(Np, m), sol.ok
+        if it + 1 == iters:
+            break
+
+        # re-roll the lifted state under the new inputs (``:891-895``)
+        def roll(zc, u):
+            z1 = c["A"] @ zc + jnp.einsum("kmj,j,m->k", c["Bm"], zc, u)
+            return z1, zc
+
+        _, zhor = jax.lax.scan(roll, z, U)
+    return U, ok
+
+
 class BilinearKmpc(_KmpcBase):
     """Bilinear-model MPC: B depends on the current lifted state.
 
@@ -311,42 +406,8 @@ class BilinearKmpc(_KmpcBase):
         self._tidx = jnp.asarray(idx)
         self._tvalid = jnp.asarray(valid)
 
-    def _block_toeplitz(self, proj_powers, Beta_j):
-        """Blocks (i, j) = proj_powers[i-1-j] @ Beta_j[j], stacked.
-
-        proj_powers: (Np+1, r, NL); Beta_j: (Np, NL, m).  Only O(Np^2 r m NL)
-        flops with r in {nproj, n} -- the full NL-sized Toeplitz never exists.
-        """
-        g = jnp.einsum("ijrb,jbm->ijrm", proj_powers[self._tidx], Beta_j)
-        g = jnp.where(self._tvalid[:, :, None, None], g, 0.0)
-        r = proj_powers.shape[1]
-        return g.transpose(0, 2, 1, 3).reshape((self.Np + 1) * r,
-                                               self.Np * self.m)
-
-    def _qp_data(self, z, zhor, Yr):
-        """Condensed QP pieces about the lifted trajectory zhor (Np, NL)."""
-        Np, n = self.Np, self.n
-        Beta_j = jnp.einsum("kmj,pj->pkm", self.model.B, zhor)   # (Np, NL, m)
-
-        CB = self._block_toeplitz(self.PA, Beta_j)
-        CAz = (self.PA @ z).reshape(-1)
-        H = CB.T @ (self.Qd[:, None] * CB) + jnp.diag(self.Rd)
-        f = 2.0 * CB.T @ (self.Qd * (CAz - Yr))
-
-        L = self.Fj
-        b = self.cFj
-        if self._sb_lo is not None:
-            # k = 2..Np blocks only; k=0 is the fixed state and k=1 depends
-            # only on the pinned u_0 (see state_constraint_rows)
-            EW = self._block_toeplitz(self.EA, Beta_j)[2 * self.n:]
-            zn = (self.EA @ z).reshape(-1)[2 * self.n:]
-            L = jnp.concatenate([L, -EW, EW], axis=0)
-            b = jnp.concatenate([
-                b,
-                -jnp.tile(self._sb_lo, Np - 1) + zn,
-                jnp.tile(self._sb_hi, Np - 1) - zn,
-            ])
-        return 2.0 * H, f, L, b
+    def consts(self) -> dict:
+        return bilinear_consts(self)
 
     def solve(self, z, u_prev, refhor, U_init=None, iters: int = None):
         """iter-relinearized solve (``get_mpcInput_bilinear_iter:817-904``).
@@ -354,29 +415,15 @@ class BilinearKmpc(_KmpcBase):
         Ksim uses iters=1 (one QP about Beta(z) held constant over the
         horizon, the reference's choice at ``Ksim.m:210``); for iters>1 the
         lifted trajectory is re-rolled between QPs.  Default comes from
-        ``MpcConfig.bilinear_iters``.
+        ``MpcConfig.bilinear_iters``.  Thin wrapper over
+        ``bilinear_solve_pure`` (shared with ``workflows.lasso_sweep``).
         """
         iters = self.cfg.bilinear_iters if iters is None else iters
-        ref = _pad_ref(refhor, self.Np, self.nproj)
-        Yr = ref.reshape(-1)
-        zhor = jnp.tile(z[None, :], (self.Np, 1))
-        U, ok = None, None
-        for it in range(iters):
-            P, f, L, b = self._qp_data(z, zhor, Yr)
-            Pz, fz, Az, bz = self._eliminate_u0(P, f, L, b, u_prev)
-            sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
-                           x0=self._warm_start(u_prev, U_init),
-                           shared_A=self.cfg.state_bounds is None,
-                           backend=self.cfg.qp_backend)
-            U, ok = self._assemble_U(u_prev, sol.x), sol.ok
-            if it + 1 == iters:
-                break
-            # re-roll the lifted state under the new inputs (``:891-895``)
-            def roll(zc, u):
-                z1 = self.model.step(zc, u)
-                return z1, zc
-            _, zhor = jax.lax.scan(roll, z, U)
-        return U, ok
+        return bilinear_solve_pure(
+            self.consts(), z, u_prev, refhor, U_init,
+            Np=self.Np, m=self.m, n=self.n, nproj=self.nproj,
+            qp_iters=self.cfg.qp_iters, iters=iters,
+            backend=self.cfg.qp_backend)
 
 
 class NonlinearKmpc(_KmpcBase):

@@ -167,6 +167,11 @@ class Ksim:
                 "Z": lambda: z,
                 "what": lambda: what,
                 "alive": lambda: alive,
+                # extra keys for utils.timing.phase_breakdown (not in
+                # RECORD_ALL): the exact inputs the solve phase consumed
+                "zeta": lambda: zeta,
+                "u_prev_sc": lambda: uwin[-1],
+                "U_plan_in": lambda: U_plan,
             }
             out = {name: out_full[name]() for name in record}
             return (x1, ywin1, uwin1, u_prev1, what, alive, U_plan1), out
@@ -235,6 +240,37 @@ class Ksim:
         jax.block_until_ready(out["Y"])
         wall = _time.perf_counter() - t0
         return self._package(out, wall_s=wall)
+
+    def run_trial_mpc_timed(self, ref, x0=None, u0=None, load=None,
+                            steps: Optional[int] = None) -> dict:
+        """Unfused timed closed loop: one jitted body call PER STEP with a
+        tic/toc around it, reproducing the reference's per-step ``comp_time``
+        measurement (``Ksim.m:205-217``; BASELINE rows are mean/median/max of
+        that field).  ~10-100x slower than ``run_trial_mpc`` (dispatch per
+        step + no fusion across steps) -- use for timing evidence only.
+        """
+        import time as _time
+
+        K = ref.shape[0] if steps is None else steps
+        body = jax.jit(self.make_body(self.prep_ref(ref)))
+        carry = self.init_carry(x0, u0)
+        w_seq = np.asarray(self._w_seq(load, K)[:-1])
+        dtype = carry[0].dtype
+        # compile once on the first step's shapes (discarded)
+        jax.block_until_ready(
+            body(carry, (jnp.asarray(1), jnp.asarray(w_seq[0], dtype))))
+        outs, comp = [], []
+        for i, k in enumerate(range(1, K)):
+            xs = (jnp.asarray(k), jnp.asarray(w_seq[i], dtype))
+            t0 = _time.perf_counter()
+            carry, out = jax.block_until_ready(body(carry, xs))
+            comp.append(_time.perf_counter() - t0)
+            outs.append(out)
+        stacked = {key: jnp.stack([o[key] for o in outs])
+                   for key in self.RECORD_ALL}
+        res = self._package(stacked, wall_s=float(np.sum(comp)))
+        res["comp_time"] = np.asarray(comp)
+        return res
 
     def _package(self, out, wall_s: float = 0.0) -> dict:
         """Assemble the reference's results-struct schema (``Ksim.m:129-258``).

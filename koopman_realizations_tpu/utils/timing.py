@@ -38,6 +38,84 @@ def step_time(fn: Callable, args: tuple, n_steps: int, reps: int = 3) -> dict:
             "max": float(times.max()), "total_s": float(times.sum() * n_steps)}
 
 
+def phase_breakdown(sim, ref, B: int = 4096, steps: int = 12,
+                    reps: int = 10, record_step: int = -1) -> dict:
+    """Measure what fraction of a closed-loop step each phase costs.
+
+    Runs a short batched closed loop to harvest the EXACT inputs each phase
+    consumed at ``record_step``, then times the jitted phases standalone at
+    batch B: lift, MPC solve (the QP), plant step, observer (if wired), and
+    the full fused step for reference.  This replaces asserted cost fractions
+    with measured ones (the reference's only instrument is tic/toc around the
+    solve, ``Ksim.m:205-217``).
+
+    Returns {phase: {"s_per_step": float, "fraction_of_sum": float}, ...,
+    "full_step_s": float} -- fractions are of the sum of phase times (phases
+    overlap differently once XLA fuses them, so they need not sum to the
+    fused step time).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    mpc, plant, scaler = sim.mpc, sim.plant, sim.scaler
+    X0 = np.zeros((B, plant.cfg.nx), np.float32)
+    X0[:, 0] = np.linspace(-0.2, 0.2, B)
+    W = np.zeros((B, 2), np.float32)
+    rec = ("X", "U", "zeta", "u_prev_sc", "U_plan_in", "what")
+    runner = sim.batched_runner(ref, steps=steps, record=rec)
+    out = jax.block_until_ready(runner(jnp.asarray(X0), jnp.asarray(W)))
+    pick = lambda k: jnp.asarray(np.asarray(out[k])[:, record_step])
+    zeta = pick("zeta")
+    u_prev_sc = pick("u_prev_sc")
+    U_plan = pick("U_plan_in")
+    what = pick("what")
+    X = pick("X")
+    U = pick("U")                      # unscaled applied input (next u_prev)
+    refhor = jnp.asarray(sim.prep_ref(ref)[steps - 1: steps + mpc.Np])
+
+    lift_fn = sim._lift_current
+    phases = {
+        "lift": jax.jit(jax.vmap(lambda zt, wh: lift_fn(zt, wh))),
+        "mpc_solve": jax.jit(jax.vmap(
+            lambda z, u, Up: mpc.solve(z, u, refhor, U_init=Up))),
+        "plant_step": jax.jit(jax.vmap(
+            lambda x, u, w: plant.simulate_Ts(x, u, w))),
+    }
+    args = {
+        "lift": (zeta, what),
+        "mpc_solve": (jax.jit(jax.vmap(lift_fn))(zeta, what), u_prev_sc,
+                      U_plan),
+        "plant_step": (X, U, jnp.asarray(W)),
+    }
+    if sim.observer is not None:
+        hor = sim.observer.horizon
+        ywin = jnp.asarray(np.tile(np.asarray(scaler.y_down(
+            plant.get_y(X[0])))[None, None], (B, hor + 1, 1)))
+        uwin = jnp.tile(u_prev_sc[:, None], (1, hor + 1, 1))
+        phases["observer"] = jax.jit(jax.vmap(sim.observer.estimate))
+        args["observer"] = (ywin, uwin)
+
+    def clock(fn, a):
+        o = jax.block_until_ready(fn(*a))          # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = jax.block_until_ready(fn(*a))
+        return (time.perf_counter() - t0) / reps
+
+    times = {name: clock(fn, args[name]) for name, fn in phases.items()}
+    # full fused step: steady-state scan time / steps
+    t0 = time.perf_counter()
+    jax.block_until_ready(runner(jnp.asarray(X0), jnp.asarray(W)))
+    full = (time.perf_counter() - t0) / (steps - 1)
+    total = sum(times.values())
+    return {
+        **{name: {"s_per_step": t, "fraction_of_sum": t / total}
+           for name, t in times.items()},
+        "full_step_s": full,
+        "batch": B,
+    }
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: str):
     """jax.profiler trace context (view with TensorBoard's profile plugin)."""

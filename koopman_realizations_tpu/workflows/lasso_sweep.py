@@ -18,48 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from koopman_realizations_tpu.config import MpcConfig
-from koopman_realizations_tpu.control.kmpc import BilinearKmpc, _pad_ref
+from koopman_realizations_tpu.control.kmpc import (
+    BilinearKmpc,
+    bilinear_consts,
+    bilinear_solve_pure,
+)
 from koopman_realizations_tpu.models.koopman import BilinearModel
-from koopman_realizations_tpu.ops.qp import solve_qp
-
-
-def bilinear_consts(mpc: BilinearKmpc) -> dict:
-    """Per-candidate constants consumed by ``bilinear_solve_pure``."""
-    return {
-        "Bm": mpc.model.B,            # (NL, m, NL)
-        "PA": mpc.PA,                 # (Np+1, p, NL)
-        "EA": mpc.EA,
-        "powers": mpc.powers,
-        "Fj": mpc.Fj, "cFj": mpc.cFj,
-        "Qd": mpc.Qd, "Rd": mpc.Rd,
-        "tidx": mpc._tidx, "tvalid": mpc._tvalid,
-    }
-
-
-def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, Np: int, m: int,
-                        nproj: int, qp_iters: int):
-    """Stateless re-implementation of ``BilinearKmpc.solve`` (iters=1)."""
-    ref = _pad_ref(refhor, Np, nproj)
-    Yr = ref.reshape(-1)
-    zhor = jnp.tile(z[None, :], (Np, 1))
-    Beta_j = jnp.einsum("kmj,pj->pkm", c["Bm"], zhor)
-    g = jnp.einsum("ijrb,jbm->ijrm", c["PA"][c["tidx"]], Beta_j)
-    g = jnp.where(c["tvalid"][:, :, None, None], g, 0.0)
-    CB = g.transpose(0, 2, 1, 3).reshape((Np + 1) * nproj, Np * m)
-    CAz = (c["PA"] @ z).reshape(-1)
-    H = CB.T @ (c["Qd"][:, None] * CB) + jnp.diag(c["Rd"])
-    f = 2.0 * CB.T @ (c["Qd"] * (CAz - Yr))
-    P = 2.0 * H
-    # eliminate the pinned first input
-    P11 = P[:m, :m]
-    Pz = P[m:, m:]
-    fz = f[m:] + P[m:, :m] @ u_prev
-    Az = c["Fj"][:, m:]
-    bz = c["cFj"] - c["Fj"][:, :m] @ u_prev
-    warm = jnp.concatenate([U_init[2:], U_init[-1:]], axis=0).reshape(-1)
-    sol = solve_qp(Pz, fz, Az, bz, iters=qp_iters, x0=warm)
-    U = jnp.concatenate([u_prev, sol.x]).reshape(Np, m)
-    return U, sol.ok
 
 
 def lasso_sweep_closed_loop(ksysid, plant, mpc_cfg: MpcConfig, ref,
@@ -102,9 +66,12 @@ def lasso_sweep_closed_loop(ksysid, plant, mpc_cfg: MpcConfig, ref,
                 # (Ksim.m:198-199, same alignment as control.ksim)
                 refhor = jax.lax.dynamic_slice(ref_padded, (k - 1, 0),
                                                (Np + 1, nproj))
-                U, ok = bilinear_solve_pure(c, z, scaler.u_down(u_prev),
-                                            refhor, U_plan, Np, m, nproj,
-                                            mpc_cfg.qp_iters)
+                U, ok = bilinear_solve_pure(
+                    c, z, scaler.u_down(u_prev), refhor, U_plan,
+                    Np=Np, m=m, n=mpc0.n, nproj=nproj,
+                    qp_iters=mpc_cfg.qp_iters,
+                    iters=mpc_cfg.bilinear_iters,
+                    backend=mpc_cfg.qp_backend)
                 u_next = scaler.u_up(U[1])
                 x_new = plant.simulate_Ts(x, u_prev, jnp.zeros(2, dtype))
                 alive = alive & ok
