@@ -88,3 +88,74 @@ def load_sim_results(path: str, varname: Optional[str] = None) -> dict:
 def save_results_mat(path: str, results: dict, varname: str = "res") -> None:
     """Save a results dict in the reference's result-struct layout."""
     sio.savemat(path, {varname: results})
+
+
+# ------------------------------------------------------------------ writers
+# Write-side parity: the reference saves these schemas from MATLAB
+# (``Rsys.save_data``, ``def_trajectory.m:37-40``); emitting the same layouts
+# makes cross-validation with MATLAB two-directional.
+
+
+def _trial_to_struct(tr: Trial) -> dict:
+    d = {"t": np.asarray(tr.t, np.float64).reshape(-1, 1),
+         "y": np.asarray(tr.y, np.float64),
+         "u": np.asarray(tr.u, np.float64)}
+    if tr.x is not None:
+        d["x"] = np.asarray(tr.x, np.float64)
+    if tr.w is not None:
+        d["w"] = np.asarray(tr.w, np.float64)
+    return d
+
+
+def _trial_cell(trials) -> np.ndarray:
+    cell = np.empty((1, len(trials)), dtype=object)
+    for j, tr in enumerate(trials):
+        cell[0, j] = _trial_to_struct(tr)
+    return cell
+
+
+def save_data4sysid(path: str, ds: DataSet, folder_name: str = "") -> None:
+    """Write a ``data4sysid`` file (the layout ``Rsys.save_data`` produces
+    with ``save(..., '-struct', 'data4sysid')``, ``Rsys.m:194-207``):
+    top-level ``train``/``val`` cell arrays of trial structs."""
+    out = {"train": _trial_cell(ds.train), "val": _trial_cell(ds.val),
+           "folder_name": folder_name}
+    if ds.params:
+        out["params"] = ds.params
+    sio.savemat(path, out)
+
+
+def save_rsys_ensemble(dirpath: str, datasets, folder_name: str = None) -> str:
+    """Write per-system ``rsys-i_train-R_val-1.mat`` files plus the
+    ``rsys-all`` aggregate holding ``data4sysid_all`` (``Rsys.m:182-216``).
+
+    Returns the aggregate file path.  File/folder naming follows the
+    reference scheme minus the timestamp (caller controls ``dirpath``).
+    """
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    folder_name = folder_name or os.path.basename(os.path.normpath(dirpath))
+    ntr = len(datasets[0].train)
+    all_cell = np.empty((len(datasets), 1), dtype=object)
+    for i, ds in enumerate(datasets):
+        entry = {"folder_name": folder_name,
+                 "train": _trial_cell(ds.train), "val": _trial_cell(ds.val)}
+        all_cell[i, 0] = entry
+        sio.savemat(os.path.join(
+            dirpath, f"rsys-{i + 1}_train-{ntr}_val-1.mat"), entry)
+    all_path = os.path.join(dirpath, f"rsys-all_train-{ntr}_val-1.mat")
+    sio.savemat(all_path, {"data4sysid_all": all_cell})
+    return all_path
+
+
+def save_ref_trajectory(path: str, ref: dict) -> None:
+    """Write a reference-trajectory file (``def_trajectory.m:37-40``):
+    one ``ref`` struct with fields name, T, Ts, t, y."""
+    sio.savemat(path, {"ref": {
+        "name": str(ref["name"]),
+        "T": float(ref["T"]),
+        "Ts": float(ref["Ts"]),
+        "t": np.asarray(ref["t"], np.float64).reshape(-1, 1),
+        "y": np.asarray(ref["y"], np.float64),
+    }})

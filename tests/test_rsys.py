@@ -97,3 +97,48 @@ def test_evaluate_rand_models_on_generated_data(rng):
                                lasso_iters=300)
     assert np.isfinite(out["linear"]["median"]).all()
     assert out["linear"]["median"][-1] < 1.0
+
+
+def test_rand_models_matches_production_trainer(shipped_rsys):
+    """The batched ensemble path must agree with per-system Ksysid fits.
+
+    ``workflows.rand_models._fit_and_val`` re-implements scaling, poly
+    lifting, and the Gram solve for the stacked system axis; this pins it to
+    the production trainer per (family, degree) config so the two cannot
+    silently diverge (the bespoke basis omits Ksysid's duplicated-zeta
+    column, a ridge-level perturbation of the same span).
+    """
+    import jax.numpy as jnp
+
+    from koopman_realizations_tpu.config import SysidConfig
+    from koopman_realizations_tpu.models.edmd import Ksysid
+    from koopman_realizations_tpu.workflows.rand_models import (
+        _fit_and_val,
+        _scale_params,
+        _stack_ensemble,
+    )
+
+    datasets = shipped_rsys[:3]
+    Ytr, Utr, Yval, Uval = _stack_ensemble(datasets)
+    y_fac, y_off, u_fac, u_off = _scale_params(Ytr, Utr)
+    args = [jnp.asarray(v) for v in (
+        (Ytr - y_off[:, None, None]) / y_fac[:, None, None],
+        (Utr - u_off[:, None, None]) / u_fac[:, None, None],
+        (Yval - y_off[:, None]) / y_fac[:, None],
+        (Uval - u_off[:, None]) / u_fac[:, None])]
+
+    for family, degree in (("linear", 3), ("bilinear", 2), ("nonlinear", 2)):
+        err_batched = np.asarray(_fit_and_val(
+            *args, scale=None, degree=degree, family=family))
+        err_prod = []
+        for ds in datasets:
+            ks = Ksysid(ds, SysidConfig(model_type=family, obs_type=("poly",),
+                                        obs_degree=(degree,))).train_models()
+            res = ks.val_model(ks.model, ks.valdata[0])
+            ysim = np.asarray(res["sim"]["y"])[:, 0]
+            yreal = np.asarray(res["real"]["y"])[:, 0]
+            err_prod.append(np.mean(np.abs(ysim - yreal))
+                            / np.mean(np.abs(yreal)))
+        err_prod = np.asarray(err_prod)
+        assert np.allclose(err_batched, err_prod, rtol=0.1, atol=5e-3), \
+            (family, degree, err_batched, err_prod)

@@ -100,3 +100,82 @@ def test_save_results_mat_roundtrip(tmp_path):
     r = d["res_lin"]
     assert set(r._fieldnames) >= {"T", "U", "Y", "R", "err", "comp_time"}
     np.testing.assert_allclose(np.asarray(r.err), 0.1)
+
+
+def _mk_trial(T=50, n=1, m=1, rng=None, with_xw=False):
+    rng = rng or np.random.default_rng(0)
+    t = np.arange(T) * 0.05
+    kw = {}
+    if with_xw:
+        kw = {"x": rng.normal(size=(T, 2)), "w": rng.normal(size=(T, 2))}
+    return Trial(t=t, y=rng.normal(size=(T, n)), u=rng.normal(size=(T, m)),
+                 **kw)
+
+
+def test_save_data4sysid_roundtrip(tmp_path):
+    """Write-side data4sysid parity (``Rsys.save_data`` layout,
+    ``Rsys.m:194-207``): our writer round-trips through our reader."""
+    from koopman_realizations_tpu.utils.matio import (
+        load_data4sysid,
+        save_data4sysid,
+    )
+
+    rng = np.random.default_rng(3)
+    ds = DataSet(train=[_mk_trial(rng=rng, with_xw=True) for _ in range(3)],
+                 val=[_mk_trial(rng=rng, with_xw=True)])
+    path = str(tmp_path / "rsys-1_train-3_val-1.mat")
+    save_data4sysid(path, ds)
+    back = load_data4sysid(path)
+    assert len(back.train) == 3 and len(back.val) == 1
+    np.testing.assert_allclose(back.train[1].y, ds.train[1].y, rtol=1e-12)
+    np.testing.assert_allclose(back.val[0].u, ds.val[0].u, rtol=1e-12)
+    np.testing.assert_allclose(back.train[0].w, ds.train[0].w, rtol=1e-12)
+
+
+def test_save_rsys_ensemble_roundtrip(tmp_path):
+    """``rsys-i_...`` per-system files + the ``rsys-all`` aggregate
+    (``Rsys.m:182-216``) read back with the shipped-schema loaders."""
+    from koopman_realizations_tpu.utils.matio import (
+        load_data4sysid,
+        load_rsys_all,
+        save_rsys_ensemble,
+    )
+
+    rng = np.random.default_rng(5)
+    datasets = [DataSet(train=[_mk_trial(rng=rng) for _ in range(4)],
+                        val=[_mk_trial(rng=rng)]) for _ in range(3)]
+    all_path = save_rsys_ensemble(str(tmp_path / "rand-systems_test"),
+                                  datasets)
+    assert all_path.endswith("rsys-all_train-4_val-1.mat")
+    back = load_rsys_all(all_path)
+    assert len(back) == 3
+    np.testing.assert_allclose(back[2].train[3].y, datasets[2].train[3].y,
+                               rtol=1e-12)
+    one = load_data4sysid(str(tmp_path / "rand-systems_test" /
+                              "rsys-2_train-4_val-1.mat"))
+    np.testing.assert_allclose(one.val[0].y, datasets[1].val[0].y, rtol=1e-12)
+
+
+def test_save_ref_trajectory_roundtrip(tmp_path):
+    """Trajectory writer (``def_trajectory.m:37-40``) matches the shipped
+    ref-struct schema bit-for-bit through the loader."""
+    from koopman_realizations_tpu.utils.matio import (
+        load_ref_trajectory,
+        save_ref_trajectory,
+    )
+    from koopman_realizations_tpu.utils.trajectories import (
+        get_blockM,
+        make_trajectory,
+    )
+
+    pts = get_blockM([0.45, -0.35], 0.5, 0.5)
+    ref = make_trajectory(pts, T=15.0, Ts=0.05, flip_y=True,
+                          preamble_from=(0.0, 1.0),
+                          name="blockM_roundtrip")
+    path = str(tmp_path / "blockM_roundtrip.mat")
+    save_ref_trajectory(path, ref)
+    back = load_ref_trajectory(path)
+    assert back["name"] == "blockM_roundtrip"
+    assert back["T"] == 15.0 and back["Ts"] == 0.05
+    np.testing.assert_allclose(back["y"], ref["y"], rtol=1e-15)
+    np.testing.assert_allclose(back["t"], ref["t"], rtol=1e-15)
