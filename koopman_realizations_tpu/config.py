@@ -83,6 +83,15 @@ class MpcConfig:
     sqp_iters: int = 5                   # SQP relinearization passes (NMPC)
     sqp_damping: float = 0.05            # Levenberg damping on the SQP step
                                          # (tames transient input saturation)
+    sqp_linesearch: int = 0              # merit line-search halvings per SQP
+                                         # pass (0 = full step; fmincon's sqp
+                                         # line search, Kmpc.m:1167-1174)
+    sqp_damping_decay: float = 1.0       # per-pass decay of sqp_damping
+                                         # (trust-region-like schedule: heavy
+                                         # damping early, Newton-like late)
+    sqp_multistart: bool = False         # run cold-hold AND warm-shifted SQP
+                                         # inits, keep the better rollout
+                                         # merit (hedge against local optima)
     bilinear_iters: int = 1              # QP<->rollout passes (Ksim.m:210 uses 1)
     dtype: str = "float32"
 

@@ -498,20 +498,37 @@ class NonlinearKmpc(_KmpcBase):
     def solve(self, zeta, u_prev, refhor, U_init=None):
         """SQP solve (semantics of ``get_mpcInput_nonlinear:1114-1181``).
 
-        Initialization is deliberately COLD (hold the current state/input,
+        Default initialization is COLD (hold the current state/input,
         matching fmincon's X0 at ``Kmpc.m:1158``): warm-starting from the
         shifted previous plan re-anchors the nonconvex SQP in whatever local
         basin the last step found, measurably worsening blockM transients
-        (0.033 vs 0.028 mean error with Levenberg damping).  ``U_init`` is
-        accepted for interface parity but unused.
+        (0.033 vs 0.028 mean error with Levenberg damping).  With
+        ``sqp_multistart`` both inits run and the better true-rollout merit
+        wins -- the per-step hedge against bad basins.
         """
-        del U_init
         ref = _pad_ref(refhor, self.Np, self.nproj)
+        if self.cfg.sqp_multistart and U_init is not None:
+            U1, ok1 = self._solve_from(
+                zeta, u_prev, ref, jnp.tile(u_prev[None, :], (self.Np, 1)))
+            shifted = jnp.concatenate([U_init[1:], U_init[-1:]], axis=0)
+            # warm linearization trajectory: the rollout of the shifted plan
+            def roll(zc, u):
+                return self.F_fn(zc, u), zc
+            _, Zw = jax.lax.scan(roll, zeta, shifted)
+            U2, ok2 = self._solve_from(zeta, u_prev, ref, shifted, Zl=Zw)
+            c1 = jnp.where(ok1, self._roll_cost(zeta, U1, ref), jnp.inf)
+            c2 = jnp.where(ok2, self._roll_cost(zeta, U2, ref), jnp.inf)
+            take2 = c2 < c1
+            return jnp.where(take2, U2, U1), ok1 | ok2
+        return self._solve_from(zeta, u_prev, ref,
+                                jnp.tile(u_prev[None, :], (self.Np, 1)))
+
+    def _solve_from(self, zeta, u_prev, ref, Ul, Zl=None):
         Np, m, n = self.Np, self.m, self.n
-        Zl = jnp.tile(zeta[None, :], (Np, 1))
-        Ul = jnp.tile(u_prev[None, :], (Np, 1))
+        if Zl is None:
+            Zl = jnp.tile(zeta[None, :], (Np, 1))
         U, ok = None, None
-        for _ in range(self.cfg.sqp_iters):
+        for it in range(self.cfg.sqp_iters):
             Sz, sz = self._condense(Zl, Ul, zeta)
             # predicted tracked outputs: y_k = Cz zeta_k[:n]
             Sy = jnp.einsum("pi,kij->kpj", self.Cz, Sz[:, : n, :]) \
@@ -521,7 +538,7 @@ class NonlinearKmpc(_KmpcBase):
             # step can converge to an input-saturated local optimum during
             # transients (fmincon's line search avoids it); rho trades the
             # transient peak against steady-state tracking
-            rho = self.cfg.sqp_damping
+            rho = self.cfg.sqp_damping * (self.cfg.sqp_damping_decay ** it)
             H = (Sy.T @ (self.Qd[:, None] * Sy) + jnp.diag(self.Rd)
                  + rho * jnp.eye(Np * m, dtype=Sy.dtype))
             f = (2.0 * Sy.T @ (self.Qd * (sy - ref.reshape(-1)))
@@ -537,7 +554,8 @@ class NonlinearKmpc(_KmpcBase):
                            x0=Ul[1:].reshape(-1),
                            shared_A=self.cfg.state_bounds is None,
                            backend=self.cfg.qp_backend)
-            U, ok = self._assemble_U(u_prev, sol.x), sol.ok
+            U_qp, ok = self._assemble_U(u_prev, sol.x), sol.ok
+            U = self._line_search(zeta, Ul, U_qp, ref)
             # nonlinear re-rollout for the next SQP pass
             def roll(zc, u):
                 z1 = self.F_fn(zc, u)
@@ -545,6 +563,39 @@ class NonlinearKmpc(_KmpcBase):
             _, Zl = jax.lax.scan(roll, zeta, U)
             Ul = U
         return U, ok
+
+    def _roll_cost(self, zeta, U, ref):
+        """True (non-linearized) merit: rollout cost of an input plan.
+
+        Same objective the QP minimizes on the linearization -- Q-weighted
+        tracking over the horizon + R-weighted input -- but evaluated on the
+        exact nonlinear rollout (fmincon's sqp evaluates its merit function
+        the same way, ``Kmpc.m:1167-1174``).
+        """
+        def roll(zc, u):
+            z1 = self.F_fn(zc, u)
+            return z1, zc
+        zf, Zpre = jax.lax.scan(roll, zeta, U)    # Zpre = [z_0 .. z_{Np-1}]
+        Z = jnp.concatenate([Zpre, zf[None]], axis=0)         # (Np+1, nz)
+        yflat = (Z[:, : self.n] @ self.Cz.T).reshape(-1)
+        track = self.Qd @ (yflat - ref.reshape(-1)) ** 2
+        return track + self.Rd @ (U.reshape(-1) ** 2)
+
+    def _line_search(self, zeta, U_old, U_qp, ref):
+        """Backtracking merit line search between the previous plan and the
+        QP step (``sqp_linesearch`` halvings; 0 = always take the full step).
+
+        Both endpoints satisfy the convex input constraints, so every convex
+        combination does too.  All candidates evaluate in one vmap.
+        """
+        ls = self.cfg.sqp_linesearch
+        if ls <= 0:
+            return U_qp
+        alphas = jnp.asarray([1.0] + [0.5 ** i for i in range(1, ls + 1)],
+                             U_qp.dtype)
+        cands = U_old[None] + alphas[:, None, None] * (U_qp - U_old)[None]
+        costs = jax.vmap(lambda Uc: self._roll_cost(zeta, Uc, ref))(cands)
+        return cands[jnp.argmin(costs)]
 
 
 def make_kmpc(model, scaler, cfg: MpcConfig):

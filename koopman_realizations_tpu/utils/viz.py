@@ -117,6 +117,149 @@ def animate_arm(arm, alpha_traj, path: str, ref_xy=None, y_xy=None,
     return path
 
 
+def _save_anim(ani, fig, path, fps):
+    plt = _plt()
+    try:
+        ani.save(path, writer="ffmpeg", fps=fps)
+    except Exception:
+        if not path.endswith(".gif"):
+            path = path.rsplit(".", 1)[0] + ".gif"
+        ani.save(path, writer="pillow", fps=fps)
+    plt.close(fig)
+    return path
+
+
+def animate_arm_refendeff(arm, alpha_traj, ref_xy, path: str, y_xy=None,
+                          fps: int = 20, stride: int = 1,
+                          window_buffer: float = 0.5):
+    """Arm animation framed around the reference trajectory with the desired
+    AND actual end-effector paths drawn (``Arm.animate_arm_refendeff:
+    656-768``): axis window = ref bounding box + buffer, y reversed, growing
+    end-effector trace in the reference's orange over the full ref path.
+    """
+    plt = _plt()
+    from matplotlib import animation
+
+    alpha_traj = np.asarray(alpha_traj)[::stride]
+    ref_xy = np.asarray(ref_xy)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.set_xlim(ref_xy[:, 0].min() - window_buffer,
+                ref_xy[:, 0].max() + window_buffer)
+    # the reference shaves 0.3 off the lower buffer (``Arm.m:693``)
+    ax.set_ylim(ref_xy[:, 1].min() - window_buffer,
+                ref_xy[:, 1].max() + window_buffer - 0.3)
+    ax.invert_yaxis()
+    ax.set_xlabel(r"$\hat{\alpha}$ (m)")
+    ax.set_ylabel(r"$\hat{\beta}$ (m)")
+    ax.set_aspect("equal")
+    ax.plot(ref_xy[:, 0], ref_xy[:, 1], "--", color="0.4", lw=1.5,
+            label="reference")
+    # reference colormap: green arm, orange end-effector path (Arm.m:679-683)
+    trace, = ax.plot([], [], "-", color=(217 / 255, 95 / 255, 2 / 255), lw=2)
+    line, = ax.plot([], [], "o-", lw=5, color=(27 / 255, 158 / 255, 119 / 255))
+
+    if y_xy is not None:
+        ee = np.asarray(y_xy)[::stride]
+    else:
+        ee = np.stack([np.asarray(arm.joint_positions(a)[0])[-1]
+                       for a in alpha_traj])
+
+    def draw(i):
+        joints = np.asarray(arm.joint_positions(alpha_traj[i])[0])
+        line.set_data(joints[:, 0], joints[:, 1])
+        trace.set_data(ee[: i + 1, 0], ee[: i + 1, 1])
+        return line, trace
+
+    ani = animation.FuncAnimation(fig, draw, frames=len(alpha_traj),
+                                  blit=True)
+    return _save_anim(ani, fig, path, fps)
+
+
+def animate_arm_validation(arm, alpha_real, y_model_xy, path: str,
+                           fps: int = 20, stride: int = 1):
+    """Real arm vs identified-model markers side by side in one animation
+    (``Arm.animate_arm_validation:771-861``): the true arm is drawn from
+    joint angles, the model's marker predictions overlay as points.
+    """
+    plt = _plt()
+    from matplotlib import animation
+
+    alpha_real = np.asarray(alpha_real)[::stride]
+    y_model_xy = np.asarray(y_model_xy)[::stride]
+    L = arm.cfg.L
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.set_xlim(-1.25 * L, 1.25 * L)
+    ax.set_ylim(-1.25 * L, 1.25 * L)
+    ax.invert_yaxis()
+    ax.set_aspect("equal")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    line, = ax.plot([], [], "o-", lw=3, color=(27 / 255, 158 / 255, 119 / 255),
+                    label="real")
+    pts, = ax.plot([], [], "s", ms=7, color=(217 / 255, 95 / 255, 2 / 255),
+                   label="model")
+    ax.legend(loc="upper right")
+
+    def draw(i):
+        joints = np.asarray(arm.joint_positions(alpha_real[i])[0])
+        line.set_data(joints[:, 0], joints[:, 1])
+        m = y_model_xy[i].reshape(-1, 2)       # marker pairs
+        pts.set_data(m[:, 0], m[:, 1])
+        return line, pts
+
+    ani = animation.FuncAnimation(fig, draw, frames=len(alpha_real),
+                                  blit=True)
+    return _save_anim(ani, fig, path, fps)
+
+
+def animate_timeseries(t, data, time_window: float, path: str,
+                       x_label: str = "t", y_label: str = "y",
+                       fps: int = 30, subplots: bool = False):
+    """Moving-window animation of a timeseries (``Data.animate_timeseries``,
+    ``Data.m:146-254``): the plot window slides so the newest sample sits at
+    the right edge; one axis or one subplot per column.
+    """
+    plt = _plt()
+    from matplotlib import animation
+
+    t = np.asarray(t).reshape(-1)
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, None]
+    ncols = data.shape[1]
+    tot_frames = max(int(fps * (t[-1] - t[0])), 2)
+    idx = np.minimum((np.arange(tot_frames) * (len(t) / tot_frames)
+                      ).astype(int), len(t) - 1)
+    lo, hi = float(data.min()), float(data.max())
+    pad = 0.05 * (hi - lo or 1.0)
+
+    if subplots:
+        fig, axes = plt.subplots(ncols, 1, figsize=(7, 2.0 * ncols),
+                                 sharex=True)
+        axes = np.atleast_1d(axes)
+    else:
+        fig, ax0 = plt.subplots(figsize=(7, 4))
+        axes = np.asarray([ax0] * ncols)
+    lines = []
+    for j in range(ncols):
+        ln, = axes[j].plot([], [], lw=2)
+        lines.append(ln)
+        axes[j].set_ylim(lo - pad, hi + pad)
+        axes[j].set_ylabel(y_label)
+    axes[-1].set_xlabel(x_label)
+
+    def draw(i):
+        k = idx[i]
+        for j, ln in enumerate(lines):
+            ln.set_data(t[: k + 1], data[: k + 1, j])
+        for ax in (axes if subplots else axes[:1]):
+            ax.set_xlim(t[k] - time_window, max(t[k], t[0] + time_window))
+        return lines
+
+    ani = animation.FuncAnimation(fig, draw, frames=tot_frames, blit=False)
+    return _save_anim(ani, fig, path, fps)
+
+
 def plot_rand_models_summary(results: dict, path=None):
     """Median normed error vs basis count per family
     (``evaluate_rand_models.m:209-292``)."""

@@ -58,3 +58,43 @@ def test_plot_rand_models_summary(tmp_path):
                for fam in ("linear", "bilinear", "nonlinear")}
     p = viz.plot_rand_models_summary(results, path=str(tmp_path / "sum.png"))
     assert os.path.getsize(p) > 5000
+
+
+def test_animate_arm_refendeff_and_validation(tmp_path):
+    """The ref-vs-end-effector and validation animation variants
+    (``Arm.animate_arm_refendeff:656-768``, ``animate_arm_validation:
+    771-861``)."""
+    import numpy as np
+
+    from koopman_realizations_tpu.config import ArmConfig
+    from koopman_realizations_tpu.models.arm import Arm
+    from koopman_realizations_tpu.utils import viz
+
+    arm = Arm(ArmConfig(Nmods=2, nlinks=1))
+    T = 6
+    alpha = np.linspace(0, 0.4, T)[:, None] * np.ones((1, 2))
+    ref = np.stack([np.linspace(0.1, 0.4, T), np.linspace(0.8, 0.9, T)], 1)
+    p1 = viz.animate_arm_refendeff(arm, alpha, ref,
+                                   str(tmp_path / "ee.mp4"), fps=5)
+    assert p1.endswith((".mp4", ".gif"))
+    markers = np.tile(np.array([[0.1, 0.4, 0.2, 0.8]]), (T, 1))
+    p2 = viz.animate_arm_validation(arm, alpha, markers,
+                                    str(tmp_path / "val.mp4"), fps=5)
+    assert p2.endswith((".mp4", ".gif"))
+
+
+def test_animate_timeseries(tmp_path):
+    """``Data.animate_timeseries`` (``Data.m:146-254``) moving window."""
+    import numpy as np
+
+    from koopman_realizations_tpu.utils import viz
+
+    t = np.arange(0, 1.0, 0.05)
+    data = np.stack([np.sin(6 * t), np.cos(6 * t)], axis=1)
+    p = viz.animate_timeseries(t, data, time_window=0.3,
+                               path=str(tmp_path / "ts.mp4"), fps=10)
+    assert p.endswith((".mp4", ".gif"))
+    p2 = viz.animate_timeseries(t, data[:, 0], time_window=0.3,
+                                path=str(tmp_path / "ts2.mp4"), fps=10,
+                                subplots=True)
+    assert p2.endswith((".mp4", ".gif"))
