@@ -28,6 +28,8 @@ class SysidConfig:
     delays: int = 0
     loaded: bool = False
     dim_red: bool = False               # PCA dimension reduction
+    pca_explained: float = 99.0         # dim_red variance threshold in %
+                                        # (Ksysid.m:1500-1504 uses 99)
     seed: int = 0                       # PRNG seed (gaussian centers, subsampling)
     dtype: str = "float64"              # regression dtype ('float32' on TPU)
     lasso_iters: int = 2000             # FISTA iterations for the LASSO path
@@ -92,6 +94,17 @@ class MpcConfig:
     sqp_multistart: bool = False         # run cold-hold AND warm-shifted SQP
                                          # inits, keep the better rollout
                                          # merit (hedge against local optima)
+    sqp_update: str = "rollout"          # between-pass Z update: 'rollout'
+                                         # (feasible path, nonlinear re-roll)
+                                         # or 'linear' (infeasible path along
+                                         # the linearization, fmincon-like)
+    sqp_init: str = "hold"               # first-pass linearization traj:
+                                         # 'hold' (constant state, fmincon's
+                                         # X0) or 'rollout' (held input
+                                         # rolled through the model)
+    sqp_best_of_passes: bool = False     # return the SQP iterate with the
+                                         # lowest TRUE rollout merit across
+                                         # passes (adaptive early stopping)
     bilinear_iters: int = 1              # QP<->rollout passes (Ksim.m:210 uses 1)
     dtype: str = "float32"
 

@@ -526,8 +526,17 @@ class NonlinearKmpc(_KmpcBase):
     def _solve_from(self, zeta, u_prev, ref, Ul, Zl=None):
         Np, m, n = self.Np, self.m, self.n
         if Zl is None:
-            Zl = jnp.tile(zeta[None, :], (Np, 1))
+            if self.cfg.sqp_init == "rollout":
+                # linearize the first pass along the natural prediction
+                # (roll the held input through F) -- mid-transient the
+                # constant-state guess is a poor linearization point
+                def roll(zc, u):
+                    return self.F_fn(zc, u), zc
+                _, Zl = jax.lax.scan(roll, zeta, Ul)
+            else:
+                Zl = jnp.tile(zeta[None, :], (Np, 1))
         U, ok = None, None
+        best_U, best_cost, best_ok = None, None, None
         for it in range(self.cfg.sqp_iters):
             Sz, sz = self._condense(Zl, Ul, zeta)
             # predicted tracked outputs: y_k = Cz zeta_k[:n]
@@ -556,12 +565,34 @@ class NonlinearKmpc(_KmpcBase):
                            backend=self.cfg.qp_backend)
             U_qp, ok = self._assemble_U(u_prev, sol.x), sol.ok
             U = self._line_search(zeta, Ul, U_qp, ref)
-            # nonlinear re-rollout for the next SQP pass
-            def roll(zc, u):
-                z1 = self.F_fn(zc, u)
-                return z1, zc
-            _, Zl = jax.lax.scan(roll, zeta, U)
+            if self.cfg.sqp_best_of_passes:
+                # keep the best iterate by TRUE rollout merit across passes:
+                # the fixed-iteration Gauss-Newton can oscillate around (or
+                # through) a good plan mid-transient; returning its best
+                # visited point is the adaptive form of early stopping
+                cost = jnp.where(ok, self._roll_cost(zeta, U, ref), jnp.inf)
+                if best_U is None:
+                    best_U, best_cost, best_ok = U, cost, ok
+                else:
+                    take = cost < best_cost
+                    best_U = jnp.where(take, U, best_U)
+                    best_cost = jnp.minimum(cost, best_cost)
+                    best_ok = jnp.where(take, ok, best_ok)
+            if self.cfg.sqp_update == "linear":
+                # infeasible-path update: move Z along the LINEARIZED
+                # dynamics (defects stay open between passes, like
+                # fmincon's sqp iterates on [Z; U]) instead of re-rolling
+                # the nonlinear model through the new inputs
+                Zl = (sz + Sz @ U.reshape(-1))[1:]
+            else:
+                # feasible-path update: nonlinear re-rollout
+                def roll(zc, u):
+                    z1 = self.F_fn(zc, u)
+                    return z1, zc
+                _, Zl = jax.lax.scan(roll, zeta, U)
             Ul = U
+        if self.cfg.sqp_best_of_passes:
+            return best_U, best_ok
         return U, ok
 
     def _roll_cost(self, zeta, U, ref):

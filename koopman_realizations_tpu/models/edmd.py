@@ -94,7 +94,7 @@ class Ksysid:
         # PCA dimension reduction (Ksysid.m:137-142)
         if cfg.dim_red:
             Px_full = self._lift_rows(self.basis.lift_full, self._dimred_inputs())
-            pcs = pcs_for_explained(np.asarray(Px_full), 99.0)
+            pcs = pcs_for_explained(np.asarray(Px_full), self.cfg.pca_explained)
             self.basis = self.basis.with_pcs(pcs)
 
         self.N = self.basis.N

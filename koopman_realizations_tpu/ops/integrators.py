@@ -34,43 +34,82 @@ def rk4(f, x0, T: float, substeps: int):
     return x
 
 
-def sdirk2(f, x0, T: float, substeps: int, newton_iters: int = 3):
+def sdirk2(f, x0, T: float, substeps: int, newton_iters: int = 3,
+           jac_mode: str = "substep"):
     """L-stable 2-stage SDIRK (gamma = 1 - 1/sqrt(2)) with Newton stages.
 
     The arm plant is stiff (joint damping d=10 against mass-matrix
     eigenvalues ~1e-3 gives |lambda| up to ~7.4e3/s, SURVEY section 7
     "ode45 vs fixed-step"): explicit RK4 needs dt < 4e-4 s and still sits at
-    the stability edge.  SDIRK2 is unconditionally stable and L-stable, so
-    ~10 substeps per 50 ms control period suffice; each Newton iteration
-    costs one jacfwd of the RHS (6x6 for the 3-link arm) plus a dense solve,
-    which XLA batches cleanly across thousands of simulation lanes.
+    the stability edge.  SDIRK2 is unconditionally stable and L-stable, so a
+    few substeps per 50 ms control period suffice.
+
+    ``jac_mode``:
+    - 'substep' (default): MODIFIED Newton -- the iteration matrix
+      I - gamma dt J is built and factored ONCE per substep (J at the
+      substep's entry state) and the factor is reused across both stages and
+      all Newton iterations.  Stale-Jacobian Newton converges linearly on
+      the residual; the closed-loop plant step was 63% of the whole MPC step
+      with exact Newton, and the Jacobian (autodiff through the mass-matrix
+      solve) was most of that.
+    - 'stage': exact Newton (fresh Jacobian every iteration), the reference
+      behavior for accuracy studies.
     """
     gamma = 1.0 - 1.0 / jnp.sqrt(2.0)
     dt = T / substeps
     n = x0.shape[-1]
     eye = jnp.eye(n, dtype=x0.dtype)
 
-    from koopman_realizations_tpu.ops.batch_linalg import solve_via_normal_unrolled
+    from koopman_realizations_tpu.ops.batch_linalg import (
+        chol_solve_unrolled,
+        chol_unrolled,
+        solve_via_normal_unrolled,
+    )
 
-    def stage(x_base, k_init):
-        """Solve k = f(x_base + gamma dt k) by Newton on r(k)=k-f(...)."""
-        def newton(k, _):
-            xs = x_base + gamma * dt * k
-            fx = f(xs)
-            J = jax.jacfwd(f)(xs)
-            # r = k - fx ; dr/dk = I - gamma dt J.  Normal-equation solve
-            # avoids XLA's slow batched LU for these tiny systems.
-            delta = solve_via_normal_unrolled(eye - gamma * dt * J, k - fx)
-            return k - delta, None
+    if jac_mode == "substep":
+        def body(x, _):
+            J = jax.jacfwd(f)(x)
+            M = eye - gamma * dt * J
+            # normal-equation factor of the (nonsymmetric) iteration matrix,
+            # computed once and reused for every stage solve below
+            with jax.default_matmul_precision("highest"):
+                L = chol_unrolled(M.T @ M)
 
-        k, _ = jax.lax.scan(newton, k_init, None, length=newton_iters)
-        return k
+                def solve(rhs):
+                    return chol_solve_unrolled(L, M.T @ rhs)
 
-    def body(x, _):
-        k1 = stage(x, f(x))
-        k2 = stage(x + (1.0 - gamma) * dt * k1, k1)
-        x1 = x + dt * ((1.0 - gamma) * k1 + gamma * k2)
-        return x1, None
+                def stage(x_base, k_init):
+                    def newton(k, _):
+                        fx = f(x_base + gamma * dt * k)
+                        return k - solve(k - fx), None
+
+                    k, _ = jax.lax.scan(newton, k_init, None,
+                                        length=newton_iters)
+                    return k
+
+                k1 = stage(x, f(x))
+                k2 = stage(x + (1.0 - gamma) * dt * k1, k1)
+            x1 = x + dt * ((1.0 - gamma) * k1 + gamma * k2)
+            return x1, None
+    else:
+        def stage_exact(x_base, k_init):
+            def newton(k, _):
+                xs = x_base + gamma * dt * k
+                fx = f(xs)
+                J = jax.jacfwd(f)(xs)
+                # r = k - fx ; dr/dk = I - gamma dt J.  Normal-equation solve
+                # avoids XLA's slow batched LU for these tiny systems.
+                delta = solve_via_normal_unrolled(eye - gamma * dt * J, k - fx)
+                return k - delta, None
+
+            k, _ = jax.lax.scan(newton, k_init, None, length=newton_iters)
+            return k
+
+        def body(x, _):
+            k1 = stage_exact(x, f(x))
+            k2 = stage_exact(x + (1.0 - gamma) * dt * k1, k1)
+            x1 = x + dt * ((1.0 - gamma) * k1 + gamma * k2)
+            return x1, None
 
     x, _ = jax.lax.scan(body, jnp.asarray(x0), None, length=substeps)
     return x

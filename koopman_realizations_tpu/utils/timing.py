@@ -75,11 +75,11 @@ def phase_breakdown(sim, ref, B: int = 4096, steps: int = 12,
 
     lift_fn = sim._lift_current
     phases = {
-        "lift": jax.jit(jax.vmap(lambda zt, wh: lift_fn(zt, wh))),
-        "mpc_solve": jax.jit(jax.vmap(
-            lambda z, u, Up: mpc.solve(z, u, refhor, U_init=Up))),
-        "plant_step": jax.jit(jax.vmap(
-            lambda x, u, w: plant.simulate_Ts(x, u, w))),
+        "lift": jax.vmap(lambda zt, wh: lift_fn(zt, wh)),
+        "mpc_solve": jax.vmap(
+            lambda z, u, Up: mpc.solve(z, u, refhor, U_init=Up)),
+        "plant_step": jax.vmap(
+            lambda x, u, w: plant.simulate_Ts(x, u, w)),
     }
     args = {
         "lift": (zeta, what),
@@ -92,15 +92,31 @@ def phase_breakdown(sim, ref, B: int = 4096, steps: int = 12,
         ywin = jnp.asarray(np.tile(np.asarray(scaler.y_down(
             plant.get_y(X[0])))[None, None], (B, hor + 1, 1)))
         uwin = jnp.tile(u_prev_sc[:, None], (1, hor + 1, 1))
-        phases["observer"] = jax.jit(jax.vmap(sim.observer.estimate))
+        phases["observer"] = jax.vmap(sim.observer.estimate)
         args["observer"] = (ywin, uwin)
 
-    def clock(fn, a):
-        o = jax.block_until_ready(fn(*a))          # compile + warm
+    def clock(fn, a, n_inner: int = 30):
+        # chain n_inner applications inside ONE program: per-dispatch launch
+        # latency (large over a tunneled TPU) would otherwise swamp the
+        # per-phase cost that the fused closed-loop scan amortizes away
+        def chained(*aa):
+            def body(carry, i):
+                a0 = aa[0] + jnp.asarray(i, aa[0].dtype).astype(aa[0].dtype) * 1e-30
+                out = fn(a0, *aa[1:])              # perturb: defeats hoisting
+                s = sum(jnp.sum(o.astype(jnp.float32))
+                        for o in jax.tree_util.tree_leaves(out)
+                        if hasattr(o, "astype"))
+                return carry + s, None
+            tot, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(n_inner))
+            return tot
+
+        prog = jax.jit(chained)
+        jax.block_until_ready(prog(*a))            # compile + warm
         t0 = time.perf_counter()
         for _ in range(reps):
-            o = jax.block_until_ready(fn(*a))
-        return (time.perf_counter() - t0) / reps
+            jax.block_until_ready(prog(*a))
+        return (time.perf_counter() - t0) / reps / n_inner
 
     times = {name: clock(fn, args[name]) for name, fn in phases.items()}
     # full fused step: steady-state scan time / steps

@@ -53,8 +53,10 @@ def main():
                         output_type="markers", substeps=5))
     which = sys.argv[1:] or ["linear", "bilinear", "nonlinear"]
     for mt in which:
+        pca = 99.99 if mt == "nonlinear" else 99.0
         ks = Ksysid(ds, SysidConfig(model_type=mt, obs_type=("poly",),
-                                    obs_degree=(3,), dim_red=True)).train_models()
+                                    obs_degree=(3,), dim_red=True,
+                                    pca_explained=pca)).train_models()
         sim = Ksim(arm, make_kmpc(ks.model, ks.scaler, cfg))
         res = sim.run_trial_mpc(ref["y"])
         gold = load_sim_results(GOLD + GOLD_FILES[mt])

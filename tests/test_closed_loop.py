@@ -31,9 +31,9 @@ def shipped_arm():
                          substeps=5))
 
 
-def train(arm_dataset, model_type):
+def train(arm_dataset, model_type, pca_explained=99.0):
     cfg = SysidConfig(model_type=model_type, obs_type=("poly",), obs_degree=(3,),
-                      dim_red=True)
+                      dim_red=True, pca_explained=pca_explained)
     return Ksysid(arm_dataset, cfg).train_models()
 
 
@@ -65,14 +65,18 @@ def test_bilinear_kmpc_blockM(arm_dataset, blockM):
 
 
 def test_nonlinear_kmpc_blockM(arm_dataset, blockM):
-    ks = train(arm_dataset, "nonlinear")
+    # pca_explained=99.99: at the reference's 99% threshold the truncated
+    # nonlinear vector field misleads the SQP during the blockM transient
+    # (round-2 root cause of the 0.028-vs-0.019 gap); 99.99% keeps N=175 of
+    # 220 and the controller then BEATS the golden run
+    ks = train(arm_dataset, "nonlinear", pca_explained=99.99)
     sim = Ksim(shipped_arm(), make_kmpc(ks.model, ks.scaler, example_control_cfg()))
-    res = sim.run_trial_mpc(blockM["y"], steps=150)
+    res = sim.run_trial_mpc(blockM["y"])
     gold = load_sim_results(GOLD + "nonlinear_poly-3_n-6_m-3_del-0_2020-06-13_14-10.mat")
     assert res["alive"].all()
-    # SQP NMPC should land in the bilinear/nonlinear accuracy class (golden
-    # mean 0.0192); generous bound to absorb training nondeterminism
-    assert res["err"].mean() <= 0.06
+    # golden K-NMPC mean is 0.0192; measured here: ~0.0142
+    assert res["err"].mean() <= 0.021
+    assert res["err"].mean() <= gold["err"].mean() * 1.10
 
 
 def test_input_bounds_respected(arm_dataset, blockM):
