@@ -53,9 +53,14 @@ def main():
         cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2), proj_idx=(4, 5))
 
     for model_type in ("linear", "bilinear", "nonlinear"):
+        # nonlinear: 99.99% PCA keeps the vector field accurate enough for
+        # the SQP transient (the 99% default truncation creates false
+        # optima; see tests/test_closed_loop.py::test_nonlinear_kmpc_blockM)
+        pca = 99.99 if model_type == "nonlinear" else 99.0
         ks = Ksysid(data, SysidConfig(model_type=model_type,
                                       obs_type=("poly",), obs_degree=(3,),
-                                      dim_red=True)).train_models()
+                                      dim_red=True,
+                                      pca_explained=pca)).train_models()
         sim = Ksim(arm, make_kmpc(ks.model, ks.scaler, mpc_cfg))
         t0 = time.time()
         res = sim.run_trial_mpc(ref["y"], steps=args.steps)

@@ -128,3 +128,35 @@ def test_bilinear_state_bounds_and_iters(arm_dataset, blockM):
     # both plans respect input bounds
     lim = np.asarray(sim.scaler.u_down(np.full(3, 7 * np.pi / 8)))
     assert np.abs(np.asarray(U3)[1:]).max() <= np.abs(lim).max() + 1e-5
+
+
+def test_nmpc_solver_knobs(arm_dataset, blockM):
+    """The optional SQP machinery (line search, damping schedule,
+    multistart, best-of-passes, linear update, rollout init) solves finite
+    and respects input bounds.  These knobs are off by default; this pins
+    every branch so they cannot rot."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    ks = train(arm_dataset, "nonlinear")
+    base = example_control_cfg()
+    sim = Ksim(shipped_arm(), make_kmpc(ks.model, ks.scaler, base))
+    refhor = jnp.asarray(sim.prep_ref(blockM["y"])[20:31])
+    zeta = jnp.asarray(np.asarray(sim.scaler.y_down(
+        shipped_arm().get_y(jnp.zeros(6)))))
+    u_prev = jnp.zeros(3)
+    U_init = jnp.zeros((10, 3))
+    lim = np.abs(np.asarray(sim.scaler.u_down(np.full(3, 7 * np.pi / 8)))).max()
+    for kw in (dict(sqp_linesearch=2),
+               dict(sqp_damping=0.3, sqp_damping_decay=0.5),
+               dict(sqp_multistart=True),
+               dict(sqp_best_of_passes=True),
+               dict(sqp_update="linear"),
+               dict(sqp_init="rollout")):
+        mpc = make_kmpc(ks.model, ks.scaler, dataclasses.replace(base, **kw))
+        U, ok = mpc.solve(zeta, u_prev, refhor, U_init=U_init)
+        assert bool(ok), kw
+        U = np.asarray(U)
+        assert np.isfinite(U).all(), kw
+        assert np.abs(U[1:]).max() <= lim + 1e-5, kw
