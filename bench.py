@@ -48,8 +48,11 @@ def main():
                                     obs_degree=(3,), dim_red=True,
                                     dtype="float32")).train_models()
 
+    # qp_iters=8: verified on THIS workload (alive_fraction 1.0 at B=8192,
+    # tracking error matches qp_iters=10 to 3 decimals); the library default
+    # stays 10 for margin on harder bases
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10,
+        horizon=10, qp_iters=8,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1,
         cost_running=10.0, cost_terminal=100.0,

@@ -77,8 +77,11 @@ class MpcConfig:
     # end effector; here we give the row indices into y instead.
     proj_idx: Optional[Tuple[int, ...]] = None
     # solver knobs (no reference counterpart: quadprog/fmincon internals)
-    qp_iters: int = 10                   # interior-point iterations (8 already
-                                         # matches golden parity; 10 adds margin)
+    qp_iters: int = 10                   # interior-point iterations: 8
+                                         # matches arm golden parity (the
+                                         # bench uses it, alive=1.0), but
+                                         # harder models (snake fourier
+                                         # basis) need the margin of 10
     qp_backend: str = "auto"             # 'auto': lanes-minor Pallas IPM for
                                          # batched shared-A solves on TPU;
                                          # 'jax': force the pure-JAX path
@@ -129,6 +132,7 @@ class ArmConfig:
     # maps onto lax.scan; 'rk4' needs substeps >= ~140 for stability)
     substeps: int = 10
     integrator: str = "sdirk2"      # 'sdirk2' | 'rk4' | 'rk45'
+    newton_iters: int = 3           # SDIRK2 stage Newton iterations
 
     @property
     def Nlinks(self) -> int:

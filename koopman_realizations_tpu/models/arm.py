@@ -171,7 +171,8 @@ class Arm:
             return rk45(f, x, Ts)
         if cfg.integrator == "rk4":
             return rk4(f, x, Ts, cfg.substeps)
-        return sdirk2(f, x, Ts, cfg.substeps)
+        return sdirk2(f, x, Ts, cfg.substeps,
+                      newton_iters=cfg.newton_iters)
 
     def simulate(self, x0, U, w=None):
         """Roll the plant over a ZOH input table U [T, nu] (scan).
