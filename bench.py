@@ -63,11 +63,12 @@ def main():
     # survive: at substeps=2 the ~6 most extreme initial states push the
     # stiff plant integrator into a divergence the ok-mask then freezes
     # (root-caused round 2: the QP solves were fine, the plant step wasn't).
-    # newton_iters=2 with the modified-Newton stages: closed-loop error and
-    # one-step accuracy vs a 40-substep reference are identical to 3 iters
-    # (the floor is substep resolution), +9% steps/s
+    # newton_iters=2 + jac_mode='step' (one Jacobian/factorization per Ts):
+    # closed-loop error and one-step accuracy vs a fine reference are
+    # identical to exact Newton (the floor is substep resolution), +20%
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
-                        output_type="markers", substeps=3, newton_iters=2))
+                        output_type="markers", substeps=3, newton_iters=2,
+                        jac_mode="step"))
     sim = Ksim(arm, mpc)
 
     X0 = np.zeros((batch, 6), np.float32)

@@ -133,6 +133,9 @@ class ArmConfig:
     substeps: int = 10
     integrator: str = "sdirk2"      # 'sdirk2' | 'rk4' | 'rk45'
     newton_iters: int = 3           # SDIRK2 stage Newton iterations
+    jac_mode: str = "substep"       # SDIRK2 Jacobian refresh: 'substep'
+                                    # (default), 'step' (one per Ts), or
+                                    # 'stage' (exact Newton)
 
     @property
     def Nlinks(self) -> int:

@@ -172,7 +172,7 @@ class Arm:
         if cfg.integrator == "rk4":
             return rk4(f, x, Ts, cfg.substeps)
         return sdirk2(f, x, Ts, cfg.substeps,
-                      newton_iters=cfg.newton_iters)
+                      newton_iters=cfg.newton_iters, jac_mode=cfg.jac_mode)
 
     def simulate(self, x0, U, w=None):
         """Roll the plant over a ZOH input table U [T, nu] (scan).

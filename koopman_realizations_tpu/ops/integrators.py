@@ -52,6 +52,9 @@ def sdirk2(f, x0, T: float, substeps: int, newton_iters: int = 3,
       the residual; the closed-loop plant step was 63% of the whole MPC step
       with exact Newton, and the Jacobian (autodiff through the mass-matrix
       solve) was most of that.
+    - 'step': one Jacobian + factorization for the WHOLE [0, T] interval
+      (evaluated at x0).  Cheapest; accuracy/stability depend on how much
+      the state moves over T -- validate per plant before adopting.
     - 'stage': exact Newton (fresh Jacobian every iteration), the reference
       behavior for accuracy studies.
     """
@@ -66,15 +69,17 @@ def sdirk2(f, x0, T: float, substeps: int, newton_iters: int = 3,
         solve_via_normal_unrolled,
     )
 
-    if jac_mode == "substep":
-        def body(x, _):
+    if jac_mode in ("substep", "step"):
+        def _factor(x):
             J = jax.jacfwd(f)(x)
             M = eye - gamma * dt * J
-            # normal-equation factor of the (nonsymmetric) iteration matrix,
-            # computed once and reused for every stage solve below
+            # normal-equation factor of the (nonsymmetric) iteration matrix
             with jax.default_matmul_precision("highest"):
                 L = chol_unrolled(M.T @ M)
+            return M, L
 
+        def _substep(x, M, L):
+            with jax.default_matmul_precision("highest"):
                 def solve(rhs):
                     return chol_solve_unrolled(L, M.T @ rhs)
 
@@ -89,8 +94,17 @@ def sdirk2(f, x0, T: float, substeps: int, newton_iters: int = 3,
 
                 k1 = stage(x, f(x))
                 k2 = stage(x + (1.0 - gamma) * dt * k1, k1)
-            x1 = x + dt * ((1.0 - gamma) * k1 + gamma * k2)
-            return x1, None
+            return x + dt * ((1.0 - gamma) * k1 + gamma * k2)
+
+        if jac_mode == "step":
+            M0, L0 = _factor(jnp.asarray(x0))
+
+            def body(x, _):
+                return _substep(x, M0, L0), None
+        else:
+            def body(x, _):
+                M, L = _factor(x)
+                return _substep(x, M, L), None
     else:
         def stage_exact(x_base, k_init):
             def newton(k, _):
