@@ -83,11 +83,15 @@ def main():
     out = runner(X0, W)
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    reps = 3
+    # median of per-rep walls: host/tunnel scheduling adds +-20% run-to-run
+    # noise on this box that a single mean absorbs badly
+    reps = 7
+    walls = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = jax.block_until_ready(runner(X0, W))
-    dt = (time.perf_counter() - t0) / reps
+        walls.append(time.perf_counter() - t0)
+    dt = float(np.median(walls))
 
     alive_frac = float(np.asarray(out["alive"])[:, -1].mean())
     # every lane must survive: a silent lane loss would inflate steps/s
