@@ -160,3 +160,17 @@ def test_nmpc_solver_knobs(arm_dataset, blockM):
         U = np.asarray(U)
         assert np.isfinite(U).all(), kw
         assert np.abs(U[1:]).max() <= lim + 1e-5, kw
+
+
+def test_timed_mode_matches_fused(arm_dataset, blockM):
+    """``run_trial_mpc_timed`` (per-step tic/toc, ``Ksim.m:205-217``) must
+    reproduce the fused scan's trajectory exactly -- same body, different
+    dispatch -- and produce a positive per-step comp_time vector."""
+    ks = train(arm_dataset, "bilinear")
+    sim = Ksim(shipped_arm(), make_kmpc(ks.model, ks.scaler, example_control_cfg()))
+    fused = sim.run_trial_mpc(blockM["y"], steps=25)
+    timed = sim.run_trial_mpc_timed(blockM["y"], steps=25)
+    assert timed["comp_time"].shape == (24,)
+    assert (timed["comp_time"] > 0).all()
+    np.testing.assert_allclose(timed["Y"], fused["Y"], rtol=0, atol=1e-10)
+    np.testing.assert_allclose(timed["err"], fused["err"], rtol=0, atol=1e-8)
