@@ -34,6 +34,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# 128 is measured optimal: at bench shapes (n=27, mc=108, B=8192, iters=8)
+# tile=256 is ~300x slower (Mosaic VMEM scheduling collapses once the tile
+# exceeds one vreg lane width) and tile=512 fails to compile.
 LANE_TILE = 128
 
 _HI = jax.lax.Precision.HIGHEST
@@ -83,7 +86,7 @@ def _chol_solve_lanes(L, rhs, n):
     return jnp.stack(xs, axis=0)
 
 
-def _ipm_kernel(n, mc, iters, slack_floor,
+def _ipm_kernel(n, mc, iters, slack_floor, tile,
                 P_ref, q_ref, b_ref, x0_ref, iobj_ref, A_ref, At_ref, OT_ref,
                 x_ref, s_ref, lam_ref):
     """One 128-lane tile: full fixed-iteration Mehrotra predictor-corrector.
@@ -92,7 +95,7 @@ def _ipm_kernel(n, mc, iters, slack_floor,
     P (n, n, T), q/x0 (n, T), b (mc, T), iobj (1, T), A (mc, n) shared,
     At = A^T, OT (n*n, mc) = flattened row outer products a_c a_c^T.
     """
-    T = LANE_TILE
+    T = tile
     reg = jnp.float32(1e-7)
     mu_floor = jnp.float32(1e-8)
 
@@ -160,10 +163,12 @@ def _ipm_kernel(n, mc, iters, slack_floor,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("iters", "interpret", "tol", "gap_sane"))
+                   static_argnames=("iters", "interpret", "tol", "gap_sane",
+                                    "tile"))
 def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
                             interpret: bool = False,
-                            tol: float = 3e-3, gap_sane: float = 5e-2):
+                            tol: float = 3e-3, gap_sane: float = 5e-2,
+                            tile: int = LANE_TILE):
     """Batched lane-shared-A interior-point solve; returns (x, lam, ok, gap).
 
     P (B, n, n), q (B, n), b (B, mc) per-lane; A (mc, n) SHARED across the
@@ -196,7 +201,7 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     OT = jnp.einsum("ci,cj->ijc", A_eq, A_eq).reshape(n * n, mc)
     At = A_eq.T
 
-    pad = (-B) % LANE_TILE
+    pad = (-B) % tile
     if pad:
         P = jnp.concatenate(
             [P, jnp.tile(jnp.eye(n, dtype=P.dtype)[None], (pad, 1, 1))], 0)
@@ -212,16 +217,16 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     x0t = x0.T
     iobjt = iobj[None, :]                # (1, Bp)
 
-    kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor)
-    lane2 = lambda r: pl.BlockSpec((r, LANE_TILE), lambda i: (0, i),
+    kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor, tile)
+    lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
     shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     xt, st, lamt = pl.pallas_call(
         kern,
-        grid=(Bp // LANE_TILE,),
+        grid=(Bp // tile,),
         in_specs=[
-            pl.BlockSpec((n, n, LANE_TILE), lambda i: (0, 0, i),
+            pl.BlockSpec((n, n, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             lane2(n), lane2(mc), lane2(n), lane2(1),
             shared(mc, n), shared(n, mc), shared(n * n, mc),
