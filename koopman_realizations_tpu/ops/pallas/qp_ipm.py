@@ -51,7 +51,15 @@ def _dot(a, b):
 
 
 def _chol_lanes(M, n):
-    """Lower Cholesky of (n, n, T) lanes-minor SPD blocks, unrolled over n."""
+    """Lower Cholesky of (n, n, T) lanes-minor SPD blocks, unrolled over n.
+
+    Deliberately FULL-width per column: shrinking-submatrix variants
+    (static (n-j, T) slices, ~n^3/3 nominal flops) measured 9% SLOWER for
+    the factorization and a wash for the triangular solves at bench shapes
+    (n=27, T=128) -- sub-vreg slices still occupy whole (8, 128) vregs and
+    the zero-pad concats add ops.  Measured by in-process slope-fetch A/B
+    (scripts/ipm_ab_bench.py, scripts/ipm_slope_bench.py).
+    """
     cols = []
     for j in range(n):
         # exact sqrt + divide, NOT lax.rsqrt: the VPU's approximate
