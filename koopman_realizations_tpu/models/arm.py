@@ -51,6 +51,7 @@ class Arm:
         self._G = G
         # gravity lever coefficients: sum_k a_kj = N - j + 1/2
         self._b = (N - idx + 0.5).astype(float)
+        self._cv_cache = {}          # Ts -> custom_vmap'd SDIRK2 step
 
     # ---------------------------------------------------------- kinematics
 
@@ -162,10 +163,26 @@ class Arm:
     # ---------------------------------------------------------- simulation
 
     def simulate_Ts(self, x, u, w=None, Ts: Optional[float] = None):
-        """One control-period step (``Arm.simulate_Ts:932-956``), jittable."""
+        """One control-period step (``Arm.simulate_Ts:932-956``), jittable.
+
+        The modified-Newton SDIRK2 path is a ``custom_vmap``: a plain call
+        integrates one lane (autodiff Lagrangian RHS); under ``vmap`` (the
+        closed-loop scenario batch) the whole batch is dispatched to the
+        struct-of-arrays closed-form path (``models.arm_lanes``), which
+        avoids the (B, n, n) trailing-dim tile padding that made the plant
+        the largest phase of the MPC step.  Parity between the two paths is
+        pinned in ``tests/test_arm_lanes.py``.
+        """
         cfg = self.cfg
-        w = jnp.zeros(2, x.dtype) if w is None else jnp.asarray(w)
+        w = jnp.zeros(2, jnp.asarray(x).dtype) if w is None else jnp.asarray(w)
         Ts = cfg.Ts if Ts is None else Ts
+        if cfg.integrator == "sdirk2" and cfg.jac_mode in ("step", "substep"):
+            return self._sdirk2_cv(float(Ts))(x, jnp.asarray(u), w)
+        return self._simulate_Ts_lane(x, u, w, Ts)
+
+    def _simulate_Ts_lane(self, x, u, w, Ts):
+        """Single-lane integrator dispatch (all integrator/jac_mode combos)."""
+        cfg = self.cfg
         f = lambda s: self.rhs(s, u, w)
         if cfg.integrator == "rk45":
             return rk45(f, x, Ts)
@@ -173,6 +190,33 @@ class Arm:
             return rk4(f, x, Ts, cfg.substeps)
         return sdirk2(f, x, Ts, cfg.substeps,
                       newton_iters=cfg.newton_iters, jac_mode=cfg.jac_mode)
+
+    def _sdirk2_cv(self, Ts: float):
+        """Cached custom_vmap step for one control period (static Ts)."""
+        fn = self._cv_cache.get(Ts)
+        if fn is not None:
+            return fn
+        from jax.custom_batching import custom_vmap
+
+        from koopman_realizations_tpu.models.arm_lanes import sdirk2_soa
+
+        cfg, G, bvec = self.cfg, self._G, self._b
+
+        @custom_vmap
+        def step(x, u, w):
+            return self._simulate_Ts_lane(x, u, w, Ts)
+
+        @step.def_vmap
+        def _rule(axis_size, in_batched, x, u, w):
+            xb, ub, wb = in_batched
+            bc = lambda v, vb: v if vb else jnp.broadcast_to(
+                v[None], (axis_size,) + v.shape)
+            out = sdirk2_soa(cfg, G, bvec, bc(x, xb), bc(u, ub), bc(w, wb),
+                             Ts, cfg.substeps, cfg.newton_iters, cfg.jac_mode)
+            return out, True
+
+        self._cv_cache[Ts] = step
+        return step
 
     def simulate(self, x0, U, w=None):
         """Roll the plant over a ZOH input table U [T, nu] (scan).
