@@ -35,8 +35,11 @@ def main():
     from koopman_realizations_tpu.models.edmd import Ksysid
     from koopman_realizations_tpu.utils.matio import load_data4sysid, load_ref_trajectory
 
+    # steps=301 runs the FULL 15 s blockM trajectory (like the reference's
+    # experiments) -- it also amortizes the ~35 ms axon tunnel dispatch that
+    # a 30-step loop pays as ~1.2 ms/step of phantom cost
     batch = int(os.environ.get("BENCH_BATCH", "8192"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    steps = int(os.environ.get("BENCH_STEPS", "301"))
 
     ds = load_data4sysid(DATAFILE)
     ref = load_ref_trajectory(REFTRAJ)

@@ -173,6 +173,13 @@ class _KmpcBase:
         F, cF = input_constraint_rows(cfg, self.m, self.Np, scaler)
         cF = _smooth_ts2(cfg, self.meta.Ts, cF, self.m, self.Np)
         self.F, self.cF = F, cF
+        # band structure of the reduced constraint stack (the matrix the QP
+        # actually sees when shared_A applies, i.e. no state bounds): lets
+        # the Pallas IPM form A^T D A from banded contractions.  Bound +
+        # slope rows give band = m; smoothness rows make it None (dense).
+        from koopman_realizations_tpu.ops.qp import band_offset_of
+        self._band = band_offset_of(F[:, self.m:]) \
+            if cfg.state_bounds is None else None
 
     # memory-constraint elimination helpers -------------------------------
 
@@ -260,7 +267,7 @@ class LinearKmpc(_KmpcBase):
         sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
                        x0=self._warm_start(u_prev, U_init),
                        shared_A=self.cfg.state_bounds is None,
-                       backend=self.cfg.qp_backend)
+                       backend=self.cfg.qp_backend, band_offset=self._band)
         return self._assemble_U(u_prev, sol.x), sol.ok
 
 
@@ -289,7 +296,7 @@ def bilinear_consts(mpc: "BilinearKmpc") -> dict:
 def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
                         m: int, n: int, nproj: int, qp_iters: int,
                         iters: int = 1, warm: bool = True,
-                        backend: str = "auto"):
+                        backend: str = "auto", band: int = None):
     """Stateless iter-relinearized bilinear MPC solve
     (``get_mpcInput_bilinear_iter:817-904``); the single implementation
     behind both ``BilinearKmpc.solve`` and the vmapped lasso sweep.
@@ -302,16 +309,27 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
     ref = _pad_ref(refhor, Np, nproj)
     Yr = ref.reshape(-1)
 
-    def block_toeplitz(proj_powers, Beta_j):
-        # blocks (i, j) = proj_powers[i-1-j] @ Beta_j[j]; r in {nproj, n}
-        g = jnp.einsum("ijrb,jbm->ijrm", proj_powers[c["tidx"]], Beta_j)
-        g = jnp.where(c["tvalid"][:, :, None, None], g, 0.0)
+    def block_toeplitz(proj_powers, Beta_j, shared: bool):
+        # blocks (i, j) = proj_powers[i-1-j] @ Beta_j[j]; r in {nproj, n}.
+        # ``shared`` (the iters=1 / first-pass case, Beta held constant over
+        # the horizon): only Np distinct blocks G_k = proj_powers[k] @ Beta
+        # exist, so compute those once and gather into the Toeplitz -- Np x
+        # fewer flops than the dense (i, j) contraction.
         r = proj_powers.shape[1]
+        if shared:
+            G = jnp.einsum("krb,bm->krm", proj_powers[:-1], Beta_j[0])
+            g = jnp.where(c["tvalid"][:, :, None, None], G[c["tidx"]], 0.0)
+        else:
+            g = jnp.einsum("ijrb,jbm->ijrm", proj_powers[c["tidx"]], Beta_j)
+            g = jnp.where(c["tvalid"][:, :, None, None], g, 0.0)
         return g.transpose(0, 2, 1, 3).reshape((Np + 1) * r, Np * m)
 
-    def qp_data(zhor):
-        Beta_j = jnp.einsum("kmj,pj->pkm", c["Bm"], zhor)    # (Np, NL, m)
-        CB = block_toeplitz(c["PA"], Beta_j)
+    def qp_data(zhor, shared: bool):
+        if shared:
+            Beta_j = jnp.einsum("kmj,j->km", c["Bm"], zhor[0])[None]  # (1, NL, m)
+        else:
+            Beta_j = jnp.einsum("kmj,pj->pkm", c["Bm"], zhor)  # (Np, NL, m)
+        CB = block_toeplitz(c["PA"], Beta_j, shared)
         CAz = (c["PA"] @ z).reshape(-1)
         H = CB.T @ (c["Qd"][:, None] * CB) + jnp.diag(c["Rd"])
         f = 2.0 * CB.T @ (c["Qd"] * (CAz - Yr))
@@ -320,7 +338,7 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
         if has_sb:
             # k = 2..Np blocks only; k=0 is the fixed state and k=1 depends
             # only on the pinned u_0 (see state_constraint_rows)
-            EW = block_toeplitz(c["EA"], Beta_j)[2 * n:]
+            EW = block_toeplitz(c["EA"], Beta_j, shared)[2 * n:]
             zn = (c["EA"] @ z).reshape(-1)[2 * n:]
             L = jnp.concatenate([L, -EW, EW], axis=0)
             b = jnp.concatenate([
@@ -338,14 +356,16 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
     zhor = jnp.tile(z[None, :], (Np, 1))
     U, ok = None, None
     for it in range(iters):
-        P, f, L, b = qp_data(zhor)
+        # first pass linearizes about Beta(z) held constant over the horizon
+        # (the reference's choice at Ksim.m:210); later passes re-roll zhor
+        P, f, L, b = qp_data(zhor, shared=(it == 0))
         Pz = P[m:, m:]
         fz = f[m:] + P[m:, :m] @ u_prev
         Az = L[:, m:]
         bz = b - L[:, :m] @ u_prev
         sol = solve_qp(Pz, fz, Az, bz, iters=qp_iters,
                        x0=x0 if warm else None, shared_A=not has_sb,
-                       backend=backend)
+                       backend=backend, band_offset=band)
         U, ok = jnp.concatenate([u_prev, sol.x]).reshape(Np, m), sol.ok
         if it + 1 == iters:
             break
@@ -423,7 +443,7 @@ class BilinearKmpc(_KmpcBase):
             self.consts(), z, u_prev, refhor, U_init,
             Np=self.Np, m=self.m, n=self.n, nproj=self.nproj,
             qp_iters=self.cfg.qp_iters, iters=iters,
-            backend=self.cfg.qp_backend)
+            backend=self.cfg.qp_backend, band=self._band)
 
 
 class NonlinearKmpc(_KmpcBase):
@@ -562,7 +582,8 @@ class NonlinearKmpc(_KmpcBase):
             sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
                            x0=Ul[1:].reshape(-1),
                            shared_A=self.cfg.state_bounds is None,
-                           backend=self.cfg.qp_backend)
+                           backend=self.cfg.qp_backend,
+                           band_offset=self._band)
             U_qp, ok = self._assemble_U(u_prev, sol.x), sol.ok
             U = self._line_search(zeta, Ul, U_qp, ref)
             if self.cfg.sqp_best_of_passes:

@@ -60,23 +60,35 @@ def _chol_lanes(M, n):
     the zero-pad concats add ops.  Measured by in-process slope-fetch A/B
     (scripts/ipm_ab_bench.py, scripts/ipm_slope_bench.py).
     """
-    cols = []
+    cols, rds = [], []
     for j in range(n):
-        # exact sqrt + divide, NOT lax.rsqrt: the VPU's approximate
-        # reciprocal-sqrt loses enough bits per factorization step to
-        # destabilize isolated closed-loop lanes vs the pure-JAX path
+        # exact sqrt + one (1, T) divide, NOT lax.rsqrt: the VPU's
+        # approximate reciprocal-sqrt loses enough bits per factorization
+        # step to destabilize isolated closed-loop lanes vs the pure-JAX
+        # path.  The IEEE reciprocal is computed once per column and the
+        # (n, T) scaling becomes a multiply (VPU divides are many-cycle).
         d = jnp.sqrt(M[j, j, :])
-        col = M[:, j, :] / d[None, :]                  # (n, T)
+        rd = 1.0 / d                                   # separate IEEE div --
+        col = M[:, j, :] * rd[None, :]                 # not rsqrt-matchable
         cols.append(col)
+        rds.append(rd)
         M = M - col[:, None, :] * col[None, :, :]      # rank-1 downdate
     L = jnp.stack(cols, axis=1)                        # (n, n, T)
+    rdiag = jnp.stack(rds, axis=0)                     # (n, T) = 1 / diag(L)
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     colx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return L * (row >= colx).astype(L.dtype)[..., None]
+    return L * (row >= colx).astype(L.dtype)[..., None], rdiag
 
 
-def _chol_solve_lanes(L, rhs, n):
-    """Solve L L^T x = rhs; column-oriented so every step is an (n, T) FMA."""
+def _chol_solve_lanes(L, rdiag, rhs, n):
+    """Solve L L^T x = rhs; column-oriented so every step is an (n, T) FMA.
+
+    ``rdiag`` is unused (kept for signature stability): the diagonal scaling
+    here is (1, T)-sized and on the accuracy-critical final-answer path, so
+    it stays an exact IEEE divide -- the reciprocal-multiply trick is
+    reserved for the (n, T) Cholesky column scalings where the op count
+    actually matters and the roundoff washes out in the downdates.
+    """
     acc = rhs                                          # forward: L y = rhs
     ys = []
     for k in range(n):
@@ -94,29 +106,60 @@ def _chol_solve_lanes(L, rhs, n):
     return jnp.stack(xs, axis=0)
 
 
-def _ipm_kernel(n, mc, iters, slack_floor, tile,
-                P_ref, q_ref, b_ref, x0_ref, iobj_ref, A_ref, At_ref, OT_ref,
-                x_ref, s_ref, lam_ref):
+def _ipm_kernel(n, mc, iters, slack_floor, tile, band,
+                P_ref, q_ref, b_ref, x0_ref, iobj_ref, A_ref, At_ref,
+                *rest):
     """One 128-lane tile: full fixed-iteration Mehrotra predictor-corrector.
 
     All inputs pre-equilibrated except P (scaled in-VMEM by iobj); shapes:
     P (n, n, T), q/x0 (n, T), b (mc, T), iobj (1, T), A (mc, n) shared,
-    At = A^T, OT (n*n, mc) = flattened row outer products a_c a_c^T.
+    At = A^T.
+
+    ``band`` selects the Newton-matrix formation:
+    - None: dense -- ``rest`` carries OT (n*n, mc), the flattened row outer
+      products a_c a_c^T, and A^T D A forms as one (n^2, mc) @ (mc, T) MXU
+      contraction.
+    - d >= 0: A^T A has nonzeros only on the diagonal and (for d > 0) the
+      +-d off-diagonals (box + single-offset difference rows, the MPC
+      input-bound/slope case).  ``rest`` carries Wd (n, mc) with
+      Wd[i, c] = A[c, i]^2 and Wo (max(n-d, 1), mc) with
+      Wo[i, c] = A[c, i] A[c, i+d]; A^T D A then forms from two (n, mc)
+      contractions plus masked embeds -- ~27x fewer MXU flops at MPC shapes.
     """
     T = tile
     reg = jnp.float32(1e-7)
     mu_floor = jnp.float32(1e-8)
 
+    x_ref, s_ref, lam_ref = rest[-3:]
     iobj = iobj_ref[0, :]                              # (T,)
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-           ).astype(jnp.float32)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (rowi == coli).astype(jnp.float32)
     Pr = P_ref[...] * iobj[None, None, :] + reg * eye[..., None]
     q = q_ref[...]
     b = b_ref[...]
     A = A_ref[...]
     At = At_ref[...]
-    OT = OT_ref[...]
+    if band is None:
+        OT = rest[0][...]
+
+        def form_AtDA(D):
+            return _dot(OT, D).reshape(n, n, T)
+    else:
+        Wd = rest[0][...]
+        Wo = rest[1][...]
+        mask_u = (coli == rowi + band).astype(jnp.float32)[..., None]
+        mask_l = (rowi == coli + band).astype(jnp.float32)[..., None]
+
+        def form_AtDA(D):
+            dg = _dot(Wd, D)                           # (n, T) diagonal
+            M = eye[..., None] * dg[:, None, :]
+            if band > 0:
+                og = _dot(Wo, D)                       # (n - band, T)
+                pad = jnp.zeros((n - og.shape[0], T), og.dtype)
+                ogp = jnp.concatenate([og, pad], axis=0)
+                M = M + mask_u * ogp[:, None, :] + mask_l * ogp[None, :, :]
+            return M
 
     def matvec_P(v):                                   # (n, T)
         acc = Pr[:, 0, :] * v[0][None, :]
@@ -141,12 +184,12 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile,
 
         # one factor per iteration, shared by predictor + corrector
         D = jnp.clip(lam / s, 1e-14, 1e14)                       # (mc, T)
-        M = Pr + _dot(OT, D).reshape(n, n, T)
-        L = _chol_lanes(M, n)
+        M = Pr + form_AtDA(D)
+        L, rdiag = _chol_lanes(M, n)
 
         def direction(r_slam):
             rhs = -r_d - _dot(At, (-r_slam + lam * r_p) / s)
-            dx = _chol_solve_lanes(L, rhs, n)
+            dx = _chol_solve_lanes(L, rdiag, rhs, n)
             ds = -r_p - _dot(A, dx)
             dlam = (-r_slam - lam * ds) / s
             return dx, ds, dlam
@@ -172,16 +215,22 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile,
 
 @functools.partial(jax.jit,
                    static_argnames=("iters", "interpret", "tol", "gap_sane",
-                                    "tile"))
+                                    "tile", "band"))
 def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
                             interpret: bool = False,
                             tol: float = 3e-3, gap_sane: float = 5e-2,
-                            tile: int = LANE_TILE):
+                            tile: int = LANE_TILE, band: int = None):
     """Batched lane-shared-A interior-point solve; returns (x, lam, ok, gap).
 
     P (B, n, n), q (B, n), b (B, mc) per-lane; A (mc, n) SHARED across the
     batch; x0 (B, n) optional warm start.  Matches ``ops.qp.solve_qp``
     semantics lane-for-lane (same equilibration/regularization/ok rules).
+
+    ``band``: static promise that A^T A is nonzero only on the diagonal and
+    the +-band off-diagonals (see ``_ipm_kernel``); the Newton matrix then
+    forms from structured (n, mc) contractions instead of the dense
+    (n^2, mc) one.  Callers derive it from the host-side constraint stack
+    (``ops.qp.band_offset_of``); a wrong value silently corrupts A^T D A.
     """
     P = jnp.asarray(P, jnp.float32)
     q = jnp.asarray(q, jnp.float32)
@@ -206,8 +255,18 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
         x0 = jnp.zeros((B, n), jnp.float32)
     x0 = jnp.asarray(x0, jnp.float32)
 
-    OT = jnp.einsum("ci,cj->ijc", A_eq, A_eq).reshape(n * n, mc)
     At = A_eq.T
+    if band is None:
+        structured = (jnp.einsum("ci,cj->ijc", A_eq, A_eq).reshape(n * n, mc),)
+        struct_specs = [(n * n, mc)]
+    else:
+        Wd = (A_eq * A_eq).T                                     # (n, mc)
+        if band > 0:
+            Wo = (A_eq[:, :n - band] * A_eq[:, band:]).T         # (n-band, mc)
+        else:
+            Wo = jnp.zeros((1, mc), jnp.float32)
+        structured = (Wd, Wo)
+        struct_specs = [(n, mc), (Wo.shape[0], mc)]
 
     pad = (-B) % tile
     if pad:
@@ -225,7 +284,8 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     x0t = x0.T
     iobjt = iobj[None, :]                # (1, Bp)
 
-    kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor, tile)
+    kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor, tile,
+                             band)
     lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
     shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -237,14 +297,15 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
             pl.BlockSpec((n, n, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             lane2(n), lane2(mc), lane2(n), lane2(1),
-            shared(mc, n), shared(n, mc), shared(n * n, mc),
+            shared(mc, n), shared(n, mc),
+            *[shared(r, c) for r, c in struct_specs],
         ],
         out_specs=[lane2(n), lane2(mc), lane2(mc)],
         out_shape=[jax.ShapeDtypeStruct((n, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((mc, Bp), jnp.float32)],
         interpret=interpret,
-    )(Pt, qt, bt, x0t, iobjt, A_eq, At, OT)
+    )(Pt, qt, bt, x0t, iobjt, A_eq, At, *structured)
 
     x = xt.T[:B]
     s = st.T[:B]

@@ -31,9 +31,36 @@ class QPSolution(NamedTuple):
     gap: jnp.ndarray     # final complementarity gap
 
 
-@partial(jax.jit, static_argnames=("iters", "shared_A", "backend"))
+def band_offset_of(A) -> "int | None":
+    """Static band structure of A^T A for the Pallas kernel's fast path.
+
+    A is the HOST-side (numpy) constraint matrix.  Returns d such that
+    |A|^T |A| is nonzero only on the diagonal and the +-d off-diagonals
+    (0 = diagonal-only), or None if no single offset covers it.  Using |A|
+    keeps the answer conservative under accidental cancellation.  MPC
+    input-bound + slope stacks (``Kmpc.m:230-277``) are exactly the
+    d = m case; smoothness rows (offsets m AND 2m) return None.
+    """
+    import numpy as np
+    A = np.asarray(A)
+    if A.ndim != 2 or A.shape[0] == 0:
+        return 0
+    G = (np.abs(A).T @ np.abs(A)) > 0
+    n = G.shape[0]
+    i, j = np.nonzero(G)
+    offs = set(np.abs(i - j).tolist()) - {0}
+    if not offs:
+        return 0
+    if len(offs) == 1:
+        return int(offs.pop())
+    return None
+
+
+@partial(jax.jit,
+         static_argnames=("iters", "shared_A", "backend", "band_offset"))
 def solve_qp(P, q, A, b, iters: int = 25, x0=None,
-             shared_A: bool = False, backend: str = "auto") -> QPSolution:
+             shared_A: bool = False, backend: str = "auto",
+             band_offset: int = None) -> QPSolution:
     """Interior-point solve of min 1/2 x'Px + q'x s.t. Ax <= b.
 
     P must be symmetric PSD (the MPC Hessian is PSD by construction; a small
@@ -54,6 +81,12 @@ def solve_qp(P, q, A, b, iters: int = 25, x0=None,
     ``backend``: 'auto' (Pallas when batched + shared_A + f32 + TPU) or
     'jax' (force the pure-JAX path everywhere).
 
+    ``band_offset``: optional static structure promise for the Pallas path,
+    from ``band_offset_of`` applied to the HOST-side constraint stack; see
+    ``ops.pallas.qp_ipm.solve_qp_shared_batched``.  Ignored off the Pallas
+    route.  A wrong value silently corrupts the Newton matrix -- only pass
+    values computed from the actual rows.
+
     # the Newton systems need true f32 accumulation: TPU matmuls default to
     # bf16 inputs, which stalls convergence (batched lanes flag not-ok)
     """
@@ -65,7 +98,7 @@ def solve_qp(P, q, A, b, iters: int = 25, x0=None,
             warm = x0 is not None
             if x0 is None:
                 x0 = jnp.zeros(q.shape, jnp.float32)
-            f = _pallas_routed_solver(iters, warm)
+            f = _pallas_routed_solver(iters, warm, band_offset)
             x, lam, ok, gap = f(jnp.asarray(P, jnp.float32),
                                 jnp.asarray(q, jnp.float32),
                                 jnp.asarray(A, jnp.float32),
@@ -78,11 +111,11 @@ def solve_qp(P, q, A, b, iters: int = 25, x0=None,
 _ROUTED_CACHE = {}
 
 
-def _pallas_routed_solver(iters: int, warm: bool):
+def _pallas_routed_solver(iters: int, warm: bool, band: int = None):
     """custom_vmap'd shared-A solver: unbatched calls use the pure-JAX path;
     vmapped calls (the closed-loop scenario batch) hit the lanes-minor Pallas
-    kernel with the whole batch at once.  Cached per (iters, warm)."""
-    key = (iters, warm)
+    kernel with the whole batch at once.  Cached per (iters, warm, band)."""
+    key = (iters, warm, band)
     f = _ROUTED_CACHE.get(key)
     if f is not None:
         return f
@@ -115,7 +148,7 @@ def _pallas_routed_solver(iters: int, warm: bool):
             jnp.broadcast_to(v[None], (axis_size,) + v.shape)
         x, lam, ok, gap = solve_qp_shared_batched(
             bc(P, Pb), bc(q, qb), A, bc(b, bb),
-            x0=bc(x0, xb) if warm else None, iters=iters)
+            x0=bc(x0, xb) if warm else None, iters=iters, band=band)
         return (x, lam, ok, gap), (True, True, True, True)
 
     _ROUTED_CACHE[key] = solve

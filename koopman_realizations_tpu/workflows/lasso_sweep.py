@@ -71,7 +71,7 @@ def lasso_sweep_closed_loop(ksysid, plant, mpc_cfg: MpcConfig, ref,
                     Np=Np, m=m, n=mpc0.n, nproj=nproj,
                     qp_iters=mpc_cfg.qp_iters,
                     iters=mpc_cfg.bilinear_iters,
-                    backend=mpc_cfg.qp_backend)
+                    backend=mpc_cfg.qp_backend, band=mpc0._band)
                 u_next = scaler.u_up(U[1])
                 x_new = plant.simulate_Ts(x, u_prev, jnp.zeros(2, dtype))
                 alive = alive & ok

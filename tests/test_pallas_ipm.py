@@ -106,3 +106,78 @@ def test_kernel_nonmultiple_batch_padding():
     dx = np.abs(np.asarray(x_k) - np.asarray(sol.x))[m]
     assert np.median(dx) < 1e-4
     assert dx.max() < 5e-3
+
+
+def _box_slope_stack(n, m, lim=0.8, slope=0.1):
+    """MPC-like reduced constraint stack: box rows on every variable plus
+    slope rows coupling variable i to i+m (band offset m after reduction)."""
+    rows, rhs = [], []
+    eye = np.eye(n, dtype=np.float32)
+    for i in range(n):
+        rows += [eye[i], -eye[i]]
+        rhs += [lim, lim]
+    for i in range(n - m):
+        d = eye[i + m] - eye[i]
+        rows += [d, -d]
+        rhs += [slope, slope]
+    return np.stack(rows), np.asarray(rhs, np.float32)
+
+
+def test_kernel_banded_matches_dense():
+    from koopman_realizations_tpu.ops.qp import band_offset_of
+
+    B, n, m = 96, 27, 3
+    A_np, c = _box_slope_stack(n, m)
+    assert band_offset_of(A_np) == m
+    mc = A_np.shape[0]
+    rng = np.random.default_rng(7)
+    G = rng.normal(size=(B, n, n)).astype(np.float32)
+    P = np.einsum("bij,bkj->bik", G, G) / n + 0.5 * np.eye(n, dtype=np.float32)
+    q = rng.normal(size=(B, n)).astype(np.float32) * 0.3
+    b = np.tile(c[None], (B, 1))
+    P, q, A, b = map(jnp.asarray, (P, q, A_np, b))
+    x0 = jnp.zeros((B, n), jnp.float32)
+
+    x_d, lam_d, ok_d, _ = solve_qp_shared_batched(P, q, A, b, x0=x0,
+                                                  iters=20, interpret=True)
+    x_b, lam_b, ok_b, _ = solve_qp_shared_batched(P, q, A, b, x0=x0,
+                                                  iters=20, interpret=True,
+                                                  band=m)
+    okm = np.asarray(ok_d) & np.asarray(ok_b)
+    assert okm.mean() > 0.95
+    # identical math, different contraction order for A^T D A
+    dx = np.abs(np.asarray(x_b) - np.asarray(x_d))[okm]
+    assert np.median(dx) < 1e-5
+    assert dx.max() < 5e-3
+
+    # diagonal-only stack (pure box rows) exercises band = 0
+    A0, c0 = _box_slope_stack(n, m)
+    A0, c0 = A0[: 2 * n], c0[: 2 * n]
+    assert band_offset_of(A0) == 0
+    b0 = jnp.asarray(np.tile(c0[None], (B, 1)))
+    x_d0, _, ok_d0, _ = solve_qp_shared_batched(P, q, jnp.asarray(A0), b0,
+                                                x0=x0, iters=20,
+                                                interpret=True)
+    x_b0, _, ok_b0, _ = solve_qp_shared_batched(P, q, jnp.asarray(A0), b0,
+                                                x0=x0, iters=20,
+                                                interpret=True, band=0)
+    okm0 = np.asarray(ok_d0) & np.asarray(ok_b0)
+    assert okm0.mean() > 0.95
+    dx0 = np.abs(np.asarray(x_b0) - np.asarray(x_d0))[okm0]
+    assert np.median(dx0) < 1e-5
+
+
+def test_band_offset_of_analyzer():
+    from koopman_realizations_tpu.ops.qp import band_offset_of
+
+    n, m = 12, 3
+    A, _ = _box_slope_stack(n, m)
+    assert band_offset_of(A) == m
+    assert band_offset_of(A[: 2 * n]) == 0                 # box only
+    assert band_offset_of(np.zeros((0, n))) == 0           # no rows
+    # smoothness-style rows add a second offset -> dense
+    r = np.zeros((1, n), np.float32)
+    r[0, 0], r[0, m], r[0, 2 * m] = 1.0, -2.0, 1.0
+    assert band_offset_of(np.concatenate([A, r])) is None
+    # dense row -> None
+    assert band_offset_of(np.ones((1, n), np.float32)) is None
