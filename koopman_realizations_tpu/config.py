@@ -85,6 +85,18 @@ class MpcConfig:
     qp_backend: str = "auto"             # 'auto': lanes-minor Pallas IPM for
                                          # batched shared-A solves on TPU;
                                          # 'jax': force the pure-JAX path
+    qp_dual_warm: bool = False           # carry the previous step's QP
+                                         # multipliers through the closed
+                                         # loop as the interior-point dual
+                                         # start (linear/bilinear MPC).
+                                         # Opt-in: on the arm bench it holds
+                                         # golden-parity error down to
+                                         # qp_iters=4 (the bench uses it),
+                                         # but harder problems (snake
+                                         # fourier basis, loaded observer)
+                                         # track better from the cold dual
+                                         # start -- leave off unless
+                                         # validated on your workload
     sqp_iters: int = 5                   # SQP relinearization passes (NMPC)
     sqp_damping: float = 0.05            # Levenberg damping on the SQP step
                                          # (tames transient input saturation)

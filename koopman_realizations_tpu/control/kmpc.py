@@ -250,12 +250,19 @@ class LinearKmpc(_KmpcBase):
         self.c = jnp.asarray(c)
         self.Qd = jnp.asarray(self.q_diag)
 
-    def solve(self, z, u_prev, refhor, U_init=None):
+    @property
+    def n_con(self) -> int:
+        """Constraint-row count of the reduced QP (for dual-warm carries)."""
+        return self.L.shape[0]
+
+    def solve(self, z, u_prev, refhor, U_init=None, lam_init=None):
         """One MPC solve (``Kmpc.get_mpcInput:329-387``), jittable.
 
         z: current lifted state (NL,); u_prev: last applied input (m,);
         refhor: scaled reference window (<=Np+1, nproj); U_init: optional
-        previous plan for warm starting.  Returns (U [Np, m], ok).
+        previous plan for warm starting; lam_init: optional dual warm start
+        (previous step's lam).  Returns (U [Np, m], ok), or (U, ok, lam)
+        when lam_init is given.
         """
         ref = _pad_ref(refhor, self.Np, self.nproj)
         Yr = ref.reshape(-1)
@@ -267,8 +274,11 @@ class LinearKmpc(_KmpcBase):
         sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
                        x0=self._warm_start(u_prev, U_init),
                        shared_A=self.cfg.state_bounds is None,
-                       backend=self.cfg.qp_backend, band_offset=self._band)
-        return self._assemble_U(u_prev, sol.x), sol.ok
+                       backend=self.cfg.qp_backend, band_offset=self._band,
+                       lam0=lam_init)
+        if lam_init is None:
+            return self._assemble_U(u_prev, sol.x), sol.ok
+        return self._assemble_U(u_prev, sol.x), sol.ok, sol.lam
 
 
 def bilinear_consts(mpc: "BilinearKmpc") -> dict:
@@ -296,14 +306,17 @@ def bilinear_consts(mpc: "BilinearKmpc") -> dict:
 def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
                         m: int, n: int, nproj: int, qp_iters: int,
                         iters: int = 1, warm: bool = True,
-                        backend: str = "auto", band: int = None):
+                        backend: str = "auto", band: int = None,
+                        lam_init=None):
     """Stateless iter-relinearized bilinear MPC solve
     (``get_mpcInput_bilinear_iter:817-904``); the single implementation
     behind both ``BilinearKmpc.solve`` and the vmapped lasso sweep.
 
     c: constants pytree from ``bilinear_consts`` (state bounds present iff
     the keys exist); z (NL,) lifted state; u_prev (m,) scaled; refhor scaled
-    reference window; U_init previous plan (Np, m) or None.
+    reference window; U_init previous plan (Np, m) or None; lam_init
+    optional multiplier warm start (the previous step's returned ``lam``).
+    Returns (U, ok, lam).
     """
     has_sb = "sb_lo" in c
     ref = _pad_ref(refhor, Np, nproj)
@@ -365,8 +378,9 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
         bz = b - L[:, :m] @ u_prev
         sol = solve_qp(Pz, fz, Az, bz, iters=qp_iters,
                        x0=x0 if warm else None, shared_A=not has_sb,
-                       backend=backend, band_offset=band)
+                       backend=backend, band_offset=band, lam0=lam_init)
         U, ok = jnp.concatenate([u_prev, sol.x]).reshape(Np, m), sol.ok
+        lam_init = sol.lam            # later passes re-warm from this pass
         if it + 1 == iters:
             break
 
@@ -376,7 +390,7 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
             return z1, zc
 
         _, zhor = jax.lax.scan(roll, z, U)
-    return U, ok
+    return U, ok, lam_init
 
 
 class BilinearKmpc(_KmpcBase):
@@ -429,7 +443,16 @@ class BilinearKmpc(_KmpcBase):
     def consts(self) -> dict:
         return bilinear_consts(self)
 
-    def solve(self, z, u_prev, refhor, U_init=None, iters: int = None):
+    @property
+    def n_con(self) -> int:
+        """Constraint-row count of the reduced QP (for dual-warm carries)."""
+        mc = self.F.shape[0]
+        if self._sb_lo is not None:
+            mc += 2 * self.n * (self.Np - 1)
+        return mc
+
+    def solve(self, z, u_prev, refhor, U_init=None, iters: int = None,
+              lam_init=None):
         """iter-relinearized solve (``get_mpcInput_bilinear_iter:817-904``).
 
         Ksim uses iters=1 (one QP about Beta(z) held constant over the
@@ -437,13 +460,20 @@ class BilinearKmpc(_KmpcBase):
         lifted trajectory is re-rolled between QPs.  Default comes from
         ``MpcConfig.bilinear_iters``.  Thin wrapper over
         ``bilinear_solve_pure`` (shared with ``workflows.lasso_sweep``).
+
+        Returns (U, ok); with ``lam_init`` (dual warm start from the
+        previous receding-horizon step) returns (U, ok, lam).
         """
         iters = self.cfg.bilinear_iters if iters is None else iters
-        return bilinear_solve_pure(
+        U, ok, lam = bilinear_solve_pure(
             self.consts(), z, u_prev, refhor, U_init,
             Np=self.Np, m=self.m, n=self.n, nproj=self.nproj,
             qp_iters=self.cfg.qp_iters, iters=iters,
-            backend=self.cfg.qp_backend, band=self._band)
+            backend=self.cfg.qp_backend, band=self._band,
+            lam_init=lam_init)
+        if lam_init is None:
+            return U, ok
+        return U, ok, lam
 
 
 class NonlinearKmpc(_KmpcBase):

@@ -83,6 +83,10 @@ class Ksim:
         if observer is not None:
             self.win = max(self.win, mpc.cfg.load_obs_horizon + 1)
         self._runner_cache = {}      # (ref id, steps) -> jitted batch runner
+        # receding-horizon dual warm start: the previous step's QP
+        # multipliers ride the scan carry (controllers that expose n_con)
+        self._dual_warm = bool(getattr(mpc.cfg, "qp_dual_warm", False)) \
+            and hasattr(type(mpc), "n_con")
 
     # ------------------------------------------------------------------
     def _lift_current(self, zeta, what):
@@ -115,9 +119,14 @@ class Ksim:
         nproj = mpc.nproj
         ref_padded = jnp.asarray(ref_padded)
 
+        dual = self._dual_warm
+
         def body_inner(carry, xs):
             k, w_k = xs
-            x, ywin, uwin, u_prev, what, alive, U_plan = carry
+            if dual:
+                x, ywin, uwin, u_prev, what, alive, U_plan, lam_plan = carry
+            else:
+                x, ywin, uwin, u_prev, what, alive, U_plan = carry
 
             # zeta from the trailing windows (newest last)
             parts = [ywin[-1]]
@@ -137,7 +146,14 @@ class Ksim:
             # (Ksim.m:198-199)
             refhor = jax.lax.dynamic_slice(ref_padded, (k - 1, 0),
                                            (Np + 1, nproj))
-            U, ok = mpc.solve(z, uwin[-1], refhor, U_init=U_plan)
+            if dual:
+                # receding-horizon dual warm start: last step's multipliers
+                # seed the interior point (floored in ops.qp, so stale
+                # rows cannot pull it off the central path)
+                U, ok, lam = mpc.solve(z, uwin[-1], refhor, U_init=U_plan,
+                                       lam_init=lam_plan)
+            else:
+                U, ok = mpc.solve(z, uwin[-1], refhor, U_init=U_plan)
             u_next_sc = U[1]
             u_next = scaler.u_up(u_next_sc)
 
@@ -174,7 +190,10 @@ class Ksim:
                 "U_plan_in": lambda: U_plan,
             }
             out = {name: out_full[name]() for name in record}
-            return (x1, ywin1, uwin1, u_prev1, what, alive, U_plan1), out
+            new_carry = (x1, ywin1, uwin1, u_prev1, what, alive, U_plan1)
+            if dual:
+                new_carry += (keep(lam, lam_plan),)
+            return new_carry, out
 
         def body(carry, xs):
             # true f32 matmuls throughout the control loop: TPU's default
@@ -208,8 +227,12 @@ class Ksim:
         # U_plan is carried in SCALED units (mpc.solve returns scaled plans)
         u0_sc = jnp.asarray(scaler.u_down(u0), dtype)
         U_plan0 = jnp.tile(u0_sc[None], (self.mpc.Np, 1))
-        return (jnp.asarray(x0, dtype), ywin0, uwin0, jnp.asarray(u0, dtype),
-                what0, jnp.asarray(True), U_plan0)
+        carry = (jnp.asarray(x0, dtype), ywin0, uwin0, jnp.asarray(u0, dtype),
+                 what0, jnp.asarray(True), U_plan0)
+        if self._dual_warm:
+            # ones == the solver's own cold multiplier start
+            carry += (jnp.ones((self.mpc.n_con,), dtype),)
+        return carry
 
     def _w_seq(self, load, K) -> np.ndarray:
         if load is None:

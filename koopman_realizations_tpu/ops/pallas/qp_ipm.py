@@ -106,7 +106,7 @@ def _chol_solve_lanes(L, rdiag, rhs, n):
     return jnp.stack(xs, axis=0)
 
 
-def _ipm_kernel(n, mc, iters, slack_floor, tile, band,
+def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual,
                 P_ref, q_ref, b_ref, x0_ref, iobj_ref, A_ref, At_ref,
                 *rest):
     """One 128-lane tile: full fixed-iteration Mehrotra predictor-corrector.
@@ -125,6 +125,11 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band,
       Wd[i, c] = A[c, i]^2 and Wo (max(n-d, 1), mc) with
       Wo[i, c] = A[c, i] A[c, i+d]; A^T D A then forms from two (n, mc)
       contractions plus masked embeds -- ~27x fewer MXU flops at MPC shapes.
+
+    ``warm_dual``: a pre-equilibrated multiplier start lam0 (mc, T) follows
+    the structure operands in ``rest`` (receding-horizon dual warm start);
+    it is floored/capped so stale or deactivated rows cannot start the
+    predictor-corrector off the central path.
     """
     T = tile
     reg = jnp.float32(1e-7)
@@ -169,7 +174,12 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band,
 
     x0 = x0_ref[...]
     s0 = jnp.maximum(b - _dot(A, x0), jnp.float32(slack_floor))
-    lam0 = jnp.ones((mc, T), jnp.float32)
+    if warm_dual:
+        # sqrt = geometric damping toward the cold lam = 1 (matches the
+        # pure path in ops.qp._solve_qp_impl; see rationale there)
+        lam0 = jnp.sqrt(jnp.clip(rest[-4][...], 1e-4, 1e4))
+    else:
+        lam0 = jnp.ones((mc, T), jnp.float32)
 
     def max_step(v, dv):
         ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
@@ -219,7 +229,8 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band,
 def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
                             interpret: bool = False,
                             tol: float = 3e-3, gap_sane: float = 5e-2,
-                            tile: int = LANE_TILE, band: int = None):
+                            tile: int = LANE_TILE, band: int = None,
+                            lam0=None):
     """Batched lane-shared-A interior-point solve; returns (x, lam, ok, gap).
 
     P (B, n, n), q (B, n), b (B, mc) per-lane; A (mc, n) SHARED across the
@@ -231,6 +242,11 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     forms from structured (n, mc) contractions instead of the dense
     (n^2, mc) one.  Callers derive it from the host-side constraint stack
     (``ops.qp.band_offset_of``); a wrong value silently corrupts A^T D A.
+
+    ``lam0`` (B, mc): optional multiplier warm start in ORIGINAL (pre-
+    equilibration) units -- pass the previous receding-horizon step's
+    ``lam`` output.  Floored inside the kernel, so a cold caller can also
+    pass ones.  Cuts the iterations needed to re-converge between steps.
     """
     P = jnp.asarray(P, jnp.float32)
     q = jnp.asarray(q, jnp.float32)
@@ -254,6 +270,10 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     if x0 is None:
         x0 = jnp.zeros((B, n), jnp.float32)
     x0 = jnp.asarray(x0, jnp.float32)
+    warm_dual = lam0 is not None
+    if warm_dual:
+        # original -> equilibrated units: lam_eq = lam_orig * row / obj
+        lam0_eq = jnp.asarray(lam0, jnp.float32) * row[None, :] * iobj[:, None]
 
     At = A_eq.T
     if band is None:
@@ -276,6 +296,9 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
         b_eq = jnp.concatenate([b_eq, jnp.ones((pad, mc), b.dtype)], 0)
         x0 = jnp.concatenate([x0, jnp.zeros((pad, n), x0.dtype)], 0)
         iobj = jnp.concatenate([iobj, jnp.ones((pad,), iobj.dtype)], 0)
+        if warm_dual:
+            lam0_eq = jnp.concatenate(
+                [lam0_eq, jnp.ones((pad, mc), jnp.float32)], 0)
     Bp = q_eq.shape[0]
 
     Pt = P.transpose(1, 2, 0)            # (n, n, Bp) lanes-minor
@@ -285,7 +308,7 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     iobjt = iobj[None, :]                # (1, Bp)
 
     kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor, tile,
-                             band)
+                             band, warm_dual)
     lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
     shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -299,13 +322,15 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
             lane2(n), lane2(mc), lane2(n), lane2(1),
             shared(mc, n), shared(n, mc),
             *[shared(r, c) for r, c in struct_specs],
+            *([lane2(mc)] if warm_dual else []),
         ],
         out_specs=[lane2(n), lane2(mc), lane2(mc)],
         out_shape=[jax.ShapeDtypeStruct((n, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((mc, Bp), jnp.float32)],
         interpret=interpret,
-    )(Pt, qt, bt, x0t, iobjt, A_eq, At, *structured)
+    )(Pt, qt, bt, x0t, iobjt, A_eq, At, *structured,
+      *([lam0_eq.T] if warm_dual else []))
 
     x = xt.T[:B]
     s = st.T[:B]

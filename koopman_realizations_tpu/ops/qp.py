@@ -60,7 +60,7 @@ def band_offset_of(A) -> "int | None":
          static_argnames=("iters", "shared_A", "backend", "band_offset"))
 def solve_qp(P, q, A, b, iters: int = 25, x0=None,
              shared_A: bool = False, backend: str = "auto",
-             band_offset: int = None) -> QPSolution:
+             band_offset: int = None, lam0=None) -> QPSolution:
     """Interior-point solve of min 1/2 x'Px + q'x s.t. Ax <= b.
 
     P must be symmetric PSD (the MPC Hessian is PSD by construction; a small
@@ -87,6 +87,10 @@ def solve_qp(P, q, A, b, iters: int = 25, x0=None,
     route.  A wrong value silently corrupts the Newton matrix -- only pass
     values computed from the actual rows.
 
+    ``lam0`` (mc,): optional multiplier warm start in original units (the
+    previous receding-horizon solve's ``lam``); floored internally so stale
+    rows cannot start the predictor-corrector off the central path.
+
     # the Newton systems need true f32 accumulation: TPU matmuls default to
     # bf16 inputs, which stalls convergence (batched lanes flag not-ok)
     """
@@ -98,24 +102,29 @@ def solve_qp(P, q, A, b, iters: int = 25, x0=None,
             warm = x0 is not None
             if x0 is None:
                 x0 = jnp.zeros(q.shape, jnp.float32)
-            f = _pallas_routed_solver(iters, warm, band_offset)
+            warm_dual = lam0 is not None
+            if lam0 is None:
+                lam0 = jnp.ones(b.shape, jnp.float32)
+            f = _pallas_routed_solver(iters, warm, band_offset, warm_dual)
             x, lam, ok, gap = f(jnp.asarray(P, jnp.float32),
                                 jnp.asarray(q, jnp.float32),
                                 jnp.asarray(A, jnp.float32),
                                 jnp.asarray(b, jnp.float32),
-                                jnp.asarray(x0, jnp.float32))
+                                jnp.asarray(x0, jnp.float32),
+                                jnp.asarray(lam0, jnp.float32))
             return QPSolution(x=x, lam=lam, ok=ok, gap=gap)
-        return _solve_qp_impl(P, q, A, b, iters, x0, shared_A)
+        return _solve_qp_impl(P, q, A, b, iters, x0, shared_A, lam0)
 
 
 _ROUTED_CACHE = {}
 
 
-def _pallas_routed_solver(iters: int, warm: bool, band: int = None):
+def _pallas_routed_solver(iters: int, warm: bool, band: int = None,
+                          warm_dual: bool = False):
     """custom_vmap'd shared-A solver: unbatched calls use the pure-JAX path;
     vmapped calls (the closed-loop scenario batch) hit the lanes-minor Pallas
-    kernel with the whole batch at once.  Cached per (iters, warm, band)."""
-    key = (iters, warm, band)
+    kernel with the whole batch at once.  Cached per variant."""
+    key = (iters, warm, band, warm_dual)
     f = _ROUTED_CACHE.get(key)
     if f is not None:
         return f
@@ -125,37 +134,41 @@ def _pallas_routed_solver(iters: int, warm: bool, band: int = None):
         solve_qp_shared_batched,
     )
 
-    def _pure(P, q, A, b, x0):
-        sol = _solve_qp_impl(P, q, A, b, iters, x0 if warm else None, True)
+    def _pure(P, q, A, b, x0, lam0):
+        sol = _solve_qp_impl(P, q, A, b, iters, x0 if warm else None, True,
+                             lam0 if warm_dual else None)
         return sol.x, sol.lam, sol.ok, sol.gap
 
     @custom_vmap
-    def solve(P, q, A, b, x0):
-        return _pure(P, q, A, b, x0)
+    def solve(P, q, A, b, x0, lam0):
+        return _pure(P, q, A, b, x0, lam0)
 
     @solve.def_vmap
-    def _rule(axis_size, in_batched, P, q, A, b, x0):
-        Pb, qb, Ab, bb, xb = in_batched
+    def _rule(axis_size, in_batched, P, q, A, b, x0, lam0):
+        Pb, qb, Ab, bb, xb, lb = in_batched
         if Ab:
             # constraint rows vary per lane (e.g. a candidate-model axis):
             # the lane-shared kernel does not apply, fall back to plain vmap
             out = jax.vmap(_pure, in_axes=(0 if Pb else None,
                                            0 if qb else None, 0,
                                            0 if bb else None,
-                                           0 if xb else None))(P, q, A, b, x0)
+                                           0 if xb else None,
+                                           0 if lb else None))(P, q, A, b,
+                                                               x0, lam0)
             return out, (True, True, True, True)
         bc = lambda v, vb: v if vb else \
             jnp.broadcast_to(v[None], (axis_size,) + v.shape)
         x, lam, ok, gap = solve_qp_shared_batched(
             bc(P, Pb), bc(q, qb), A, bc(b, bb),
-            x0=bc(x0, xb) if warm else None, iters=iters, band=band)
+            x0=bc(x0, xb) if warm else None, iters=iters, band=band,
+            lam0=bc(lam0, lb) if warm_dual else None)
         return (x, lam, ok, gap), (True, True, True, True)
 
     _ROUTED_CACHE[key] = solve
     return solve
 
 
-def _solve_qp_impl(P, q, A, b, iters, x0, shared_A):
+def _solve_qp_impl(P, q, A, b, iters, x0, shared_A, lam0=None):
     P = jnp.asarray(P)
     q = jnp.asarray(q)
     A = jnp.asarray(A)
@@ -201,7 +214,16 @@ def _solve_qp_impl(P, q, A, b, iters, x0, shared_A):
     slack_floor = 1.0 if x0 is None else 1e-2
     x0 = jnp.zeros((n,), dtype) if x0 is None else jnp.asarray(x0, dtype)
     s0 = jnp.maximum(b - A @ x0, slack_floor)
-    lam0 = jnp.ones((mc,), dtype)
+    if lam0 is None:
+        lam0 = jnp.ones((mc,), dtype)
+    else:
+        # original -> equilibrated units; the square root damps the start
+        # halfway (geometrically) toward the cold lam = 1 -- raw previous
+        # multipliers start the predictor-corrector too far off the central
+        # path when the problem shifts between receding-horizon steps
+        # (observed: a load-estimate update at step k stalls the next solve)
+        lam0 = jnp.sqrt(jnp.clip(jnp.asarray(lam0, dtype) * row / obj_scale,
+                                 1e-4, 1e4))
 
     if shared_A:
         # row outer products a_c a_c^T flattened: (mc, n*n); lane-shared

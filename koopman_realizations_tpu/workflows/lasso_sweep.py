@@ -66,7 +66,7 @@ def lasso_sweep_closed_loop(ksysid, plant, mpc_cfg: MpcConfig, ref,
                 # (Ksim.m:198-199, same alignment as control.ksim)
                 refhor = jax.lax.dynamic_slice(ref_padded, (k - 1, 0),
                                                (Np + 1, nproj))
-                U, ok = bilinear_solve_pure(
+                U, ok, _ = bilinear_solve_pure(
                     c, z, scaler.u_down(u_prev), refhor, U_plan,
                     Np=Np, m=m, n=mpc0.n, nproj=nproj,
                     qp_iters=mpc_cfg.qp_iters,

@@ -174,3 +174,30 @@ def test_timed_mode_matches_fused(arm_dataset, blockM):
     assert (timed["comp_time"] > 0).all()
     np.testing.assert_allclose(timed["Y"], fused["Y"], rtol=0, atol=1e-10)
     np.testing.assert_allclose(timed["err"], fused["err"], rtol=0, atol=1e-8)
+
+
+def test_dual_warm_start_equivalence_and_reduced_iters(arm_dataset, blockM):
+    """The receding-horizon dual warm start (qp_dual_warm) must not change
+    closed-loop quality at full iterations, and must HOLD quality when the
+    iteration budget is cut in half (the real-time-iteration regime the TPU
+    bench runs in; without the dual start the same budget degrades)."""
+    import dataclasses
+
+    ks = train(arm_dataset, "bilinear")
+    arm = shipped_arm()
+    base = example_control_cfg()
+
+    def run(**kw):
+        cfg = dataclasses.replace(base, **kw)
+        sim = Ksim(arm, make_kmpc(ks.model, ks.scaler, cfg))
+        return sim.run_trial_mpc(blockM["y"], steps=120)
+
+    res_off = run()                      # library default: dual warm off
+    res_on = run(qp_dual_warm=True)
+    assert res_on["alive"].all() and res_off["alive"].all()
+    assert abs(res_on["err"].mean() - res_off["err"].mean()) \
+        <= 0.02 * res_off["err"].mean() + 1e-4
+
+    res_rti = run(qp_dual_warm=True, qp_iters=5)
+    assert res_rti["alive"].all()
+    assert res_rti["err"].mean() <= res_off["err"].mean() * 1.02 + 1e-4

@@ -181,3 +181,25 @@ def test_band_offset_of_analyzer():
     assert band_offset_of(np.concatenate([A, r])) is None
     # dense row -> None
     assert band_offset_of(np.ones((1, n), np.float32)) is None
+
+
+def test_kernel_dual_warm_start():
+    """Damped dual warm start: re-solving from a converged (x, lam) at few
+    iterations must stay at the optimum, and a garbage lam0 must not break
+    convergence at full iterations (the sqrt/clip damping bounds it)."""
+    B, n, mc = 64, 8, 20
+    P, q, A, b = _random_qps(B, n, mc, seed=5)
+    x_c, lam_c, ok_c, _ = solve_qp_shared_batched(P, q, A, b, iters=14,
+                                                  interpret=True)
+    x_w, _, ok_w, _ = solve_qp_shared_batched(P, q, A, b, x0=x_c, iters=4,
+                                              lam0=lam_c, interpret=True)
+    m = np.asarray(ok_c) & np.asarray(ok_w)
+    assert m.mean() > 0.95
+    assert np.abs(np.asarray(x_w) - np.asarray(x_c))[m].max() < 5e-3
+
+    bad = jnp.full((B, mc), 1e9, jnp.float32)
+    x_b, _, ok_b, _ = solve_qp_shared_batched(P, q, A, b, iters=14,
+                                              lam0=bad, interpret=True)
+    mb = np.asarray(ok_c) & np.asarray(ok_b)
+    assert mb.mean() > 0.9
+    assert np.abs(np.asarray(x_b) - np.asarray(x_c))[mb].max() < 5e-3
