@@ -292,10 +292,10 @@ def bilinear_consts(mpc: "BilinearKmpc") -> dict:
         "Bm": mpc.model.B,            # (NL, m, NL)
         "A": mpc.powers[1],           # (NL, NL) -- for iters>1 re-rolls
         "PA": mpc.PA,                 # (Np+1, p, NL)
-        "EA": mpc.EA,
+        "PAt": mpc.PAt,               # (Np+1, Np, p, NL) Toeplitz-gathered
+        "EA": mpc.EA, "EAt": mpc.EAt,
         "Fj": mpc.Fj, "cFj": mpc.cFj,
         "Qd": mpc.Qd, "Rd": mpc.Rd,
-        "tidx": mpc._tidx, "tvalid": mpc._tvalid,
     }
     if mpc._sb_lo is not None:
         c["sb_lo"] = mpc._sb_lo
@@ -322,19 +322,18 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
     ref = _pad_ref(refhor, Np, nproj)
     Yr = ref.reshape(-1)
 
-    def block_toeplitz(proj_powers, Beta_j, shared: bool):
+    def block_toeplitz(powers_toep, Beta_j, shared: bool):
         # blocks (i, j) = proj_powers[i-1-j] @ Beta_j[j]; r in {nproj, n}.
+        # ``powers_toep`` is the PREgathered, PREmasked constant tensor
+        # proj_powers[tidx] * tvalid of shape (Np+1, Np, r, NL) -- runtime
+        # per-lane gathers lower badly on TPU (measured ~2x assembly cost).
         # ``shared`` (the iters=1 / first-pass case, Beta held constant over
-        # the horizon): only Np distinct blocks G_k = proj_powers[k] @ Beta
-        # exist, so compute those once and gather into the Toeplitz -- Np x
-        # fewer flops than the dense (i, j) contraction.
-        r = proj_powers.shape[1]
+        # the horizon) contracts the single (NL, m) Beta against it.
+        r = powers_toep.shape[2]
         if shared:
-            G = jnp.einsum("krb,bm->krm", proj_powers[:-1], Beta_j[0])
-            g = jnp.where(c["tvalid"][:, :, None, None], G[c["tidx"]], 0.0)
+            g = jnp.einsum("ijrb,bm->ijrm", powers_toep, Beta_j[0])
         else:
-            g = jnp.einsum("ijrb,jbm->ijrm", proj_powers[c["tidx"]], Beta_j)
-            g = jnp.where(c["tvalid"][:, :, None, None], g, 0.0)
+            g = jnp.einsum("ijrb,jbm->ijrm", powers_toep, Beta_j)
         return g.transpose(0, 2, 1, 3).reshape((Np + 1) * r, Np * m)
 
     def qp_data(zhor, shared: bool):
@@ -342,7 +341,7 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
             Beta_j = jnp.einsum("kmj,j->km", c["Bm"], zhor[0])[None]  # (1, NL, m)
         else:
             Beta_j = jnp.einsum("kmj,pj->pkm", c["Bm"], zhor)  # (Np, NL, m)
-        CB = block_toeplitz(c["PA"], Beta_j, shared)
+        CB = block_toeplitz(c["PAt"], Beta_j, shared)
         CAz = (c["PA"] @ z).reshape(-1)
         H = CB.T @ (c["Qd"][:, None] * CB) + jnp.diag(c["Rd"])
         f = 2.0 * CB.T @ (c["Qd"] * (CAz - Yr))
@@ -351,7 +350,7 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
         if has_sb:
             # k = 2..Np blocks only; k=0 is the fixed state and k=1 depends
             # only on the pinned u_0 (see state_constraint_rows)
-            EW = block_toeplitz(c["EA"], Beta_j, shared)[2 * n:]
+            EW = block_toeplitz(c["EAt"], Beta_j, shared)[2 * n:]
             zn = (c["EA"] @ z).reshape(-1)[2 * n:]
             L = jnp.concatenate([L, -EW, EW], axis=0)
             b = jnp.concatenate([
@@ -429,16 +428,18 @@ class BilinearKmpc(_KmpcBase):
             self._sb_hi = jnp.asarray(np.asarray(scaler.y_down(sb[:, 1])))
         else:
             self._sb_lo = None
-        # block index map i-1-j for the lower-triangular Toeplitz structure
-        idx = np.zeros((Np + 1, Np), np.int32)
-        valid = np.zeros((Np + 1, Np), bool)
-        for i in range(Np + 1):
-            for j in range(Np):
-                if i > j:
-                    idx[i, j] = i - 1 - j
-                    valid[i, j] = True
-        self._tidx = jnp.asarray(idx)
-        self._tvalid = jnp.asarray(valid)
+        # Toeplitz-pregathered powers: [i, j] = proj_powers[i-1-j] for i > j,
+        # zero otherwise.  Host-side constants -- runtime per-lane gathers
+        # (or runtime masking) lower badly on TPU.
+        def toep(pp):
+            out = np.zeros((Np + 1, Np) + pp.shape[1:], pp.dtype)
+            for i in range(Np + 1):
+                for j in range(min(i, Np)):
+                    out[i, j] = pp[i - 1 - j]
+            return jnp.asarray(out)
+
+        self.PAt = toep(np.asarray(self.PA))
+        self.EAt = toep(np.asarray(self.EA))
 
     def consts(self) -> dict:
         return bilinear_consts(self)

@@ -124,9 +124,9 @@ class Ksim:
         def body_inner(carry, xs):
             k, w_k = xs
             if dual:
-                x, ywin, uwin, u_prev, what, alive, U_plan, lam_plan = carry
+                x, y, ywin, uwin, u_prev, what, alive, U_plan, lam_plan = carry
             else:
-                x, ywin, uwin, u_prev, what, alive, U_plan = carry
+                x, y, ywin, uwin, u_prev, what, alive, U_plan = carry
 
             # zeta from the trailing windows (newest last)
             parts = [ywin[-1]]
@@ -168,7 +168,9 @@ class Ksim:
             alive = alive & ok & jnp.all(jnp.isfinite(x_new))
             keep = lambda new, old: jnp.where(alive, new, old)
             x1 = keep(x_new, x)
-            y1 = plant.get_y(x1)
+            # y rides the carry so the frozen-lane output needs no second
+            # forward-kinematics evaluation (y == get_y(x) by induction)
+            y1 = keep(y_new, y)
             ywin1 = keep(jnp.concatenate([ywin[1:], scaler.y_down(y_new)[None]]),
                          ywin)
             uwin1 = keep(jnp.concatenate([uwin[1:], u_next_sc[None]]), uwin)
@@ -190,7 +192,7 @@ class Ksim:
                 "U_plan_in": lambda: U_plan,
             }
             out = {name: out_full[name]() for name in record}
-            new_carry = (x1, ywin1, uwin1, u_prev1, what, alive, U_plan1)
+            new_carry = (x1, y1, ywin1, uwin1, u_prev1, what, alive, U_plan1)
             if dual:
                 new_carry += (keep(lam, lam_plan),)
             return new_carry, out
@@ -221,14 +223,15 @@ class Ksim:
         x0 = np.zeros(plant.cfg.nx) if x0 is None else np.asarray(x0, float)
         u0 = np.zeros(self.meta.m) if u0 is None else np.asarray(u0, float)
         y0 = np.asarray(plant.get_y(jnp.asarray(x0)))
+        y0j = jnp.asarray(y0, dtype)
         ywin0 = jnp.tile(jnp.asarray(scaler.y_down(y0), dtype)[None], (self.win, 1))
         uwin0 = jnp.tile(jnp.asarray(scaler.u_down(u0), dtype)[None], (self.win, 1))
         what0 = jnp.zeros((self.meta.nw,), dtype)
         # U_plan is carried in SCALED units (mpc.solve returns scaled plans)
         u0_sc = jnp.asarray(scaler.u_down(u0), dtype)
         U_plan0 = jnp.tile(u0_sc[None], (self.mpc.Np, 1))
-        carry = (jnp.asarray(x0, dtype), ywin0, uwin0, jnp.asarray(u0, dtype),
-                 what0, jnp.asarray(True), U_plan0)
+        carry = (jnp.asarray(x0, dtype), y0j, ywin0, uwin0,
+                 jnp.asarray(u0, dtype), what0, jnp.asarray(True), U_plan0)
         if self._dual_warm:
             # ones == the solver's own cold multiplier start
             carry += (jnp.ones((self.mpc.n_con,), dtype),)
@@ -339,7 +342,10 @@ class Ksim:
 
         def one(x0, w):
             w_seq = jnp.tile(w[None, :], (K - 1, 1))
-            init = (jnp.asarray(x0, init0[0].dtype),) + init0[1:]
+            x0 = jnp.asarray(x0, init0[0].dtype)
+            # per-lane y seed keeps the carry invariant y == get_y(x)
+            init = (x0, self.plant.get_y(x0).astype(init0[1].dtype)) \
+                + init0[2:]
             _, out = jax.lax.scan(body, init, (ks, w_seq))
             return out
 
@@ -381,7 +387,9 @@ class Ksim:
         def one(x0, w, refp):
             body = self.make_body(refp, record=("U", "Y", "R", "alive"))
             w_seq = jnp.tile(w[None, :], (K - 1, 1))
-            init = (jnp.asarray(x0, init0[0].dtype),) + init0[1:]
+            x0 = jnp.asarray(x0, init0[0].dtype)
+            init = (x0, self.plant.get_y(x0).astype(init0[1].dtype)) \
+                + init0[2:]
             _, out = jax.lax.scan(body, init, (ks, w_seq))
             return out
 

@@ -36,7 +36,9 @@ def sharded_batch_runner(sim, ref, mesh, steps: Optional[int] = None,
 
     def one(x0, w):
         w_seq = jnp.tile(w[None, :], (K - 1, 1))
-        init = (jnp.asarray(x0, init0[0].dtype),) + init0[1:]
+        x0 = jnp.asarray(x0, init0[0].dtype)
+        # per-lane y seed keeps the carry invariant y == get_y(x)
+        init = (x0, sim.plant.get_y(x0).astype(init0[1].dtype)) + init0[2:]
         _, out = jax.lax.scan(body, init, (ks, w_seq))
         return out
 

@@ -63,7 +63,7 @@ def main():
                                     obs_degree=(3,), dim_red=True,
                                     dtype="float32")).train_models()
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10, qp_iters=8,
+        horizon=10, qp_iters=4, qp_dual_warm=True,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1,
         cost_running=10.0, cost_terminal=100.0,
@@ -97,8 +97,7 @@ def main():
         refp = _pad_ref(refhor, Np, nproj)
         Yr = refp.reshape(-1)
         Beta = jnp.einsum("kmj,j->km", c["Bm"], z1)
-        G = jnp.einsum("krb,bm->krm", c["PA"][:-1], Beta)
-        g = jnp.where(c["tvalid"][:, :, None, None], G[c["tidx"]], 0.0)
+        g = jnp.einsum("ijrb,bm->ijrm", c["PAt"], Beta)
         r = c["PA"].shape[1]
         CB = g.transpose(0, 2, 1, 3).reshape((Np + 1) * r, Np * m)
         CAz = (c["PA"] @ z1).reshape(-1)
@@ -140,19 +139,27 @@ def main():
         return zt * 0.999 + 1e-12 * jnp.sum(q1)
     results["lift+assemble"] = slope_clock(lambda k: chain(asm_step, zeta, k))
 
-    # 3. kernel only: warm start feeds forward (same shape carry)
-    def kern_step(x):
-        xs, lam, ok, gap = solve_qp_shared_batched(Pz, qz, Av, bz,
-                                                   x0=0.99 * x, iters=8)
-        return xs
-    results["qp_kernel"] = slope_clock(lambda k: chain(kern_step, x0z, k))
+    # 3. kernel only (bench variant: banded + dual warm), carry (x, lam)
+    lam_seed = jnp.ones((B, Av.shape[0]), jnp.float32)
+    def kern_step(carry):
+        x, lam = carry
+        xs, lam1, ok, gap = solve_qp_shared_batched(
+            Pz, qz, Av, bz, x0=0.99 * x, iters=mpc.cfg.qp_iters,
+            band=mpc._band, lam0=lam)
+        return xs, lam1
+    results["qp_kernel"] = slope_clock(lambda k: chain(
+        kern_step, (x0z, lam_seed), k))
 
-    # 4. full mpc.solve (carry: U_plan)
-    solve_v = jax.vmap(lambda zz, uu, UU: mpc.solve(zz, uu, refhor, U_init=UU))
-    def mpc_step(Upl):
-        Uo, ok = solve_v(z, u_prev, Upl)
-        return 0.999 * Uo
-    results["mpc_solve"] = slope_clock(lambda k: chain(mpc_step, U_plan, k))
+    # 4. full mpc.solve (bench variant: dual warm), carry (U_plan, lam)
+    solve_v = jax.vmap(lambda zz, uu, UU, ll: mpc.solve(zz, uu, refhor,
+                                                        U_init=UU,
+                                                        lam_init=ll))
+    def mpc_step(carry):
+        Upl, lam = carry
+        Uo, ok, lam1 = solve_v(z, u_prev, Upl, lam)
+        return 0.999 * Uo, lam1
+    results["mpc_solve"] = slope_clock(lambda k: chain(
+        mpc_step, (U_plan, lam_seed), k))
 
     # 5. plant step (carry: X)
     plant_v = jax.vmap(lambda x, u, w: arm.simulate_Ts(x, u, w))
