@@ -337,6 +337,15 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
         return g.transpose(0, 2, 1, 3).reshape((Np + 1) * r, Np * m)
 
     def qp_data(zhor, shared: bool):
+        # HIGH (3-pass bf16) instead of the loop-wide HIGHEST (6-pass) for
+        # the QP assembly: these GEMMs only build the (already equilibrated-
+        # downstream) cost matrices, and 3-pass recovers f32 to ~1e-6 --
+        # closed-loop tracking is bitwise-stable at bench tolerances while
+        # the batched-small-GEMM assembly cost halves.
+        with jax.default_matmul_precision("high"):
+            return _qp_data_inner(zhor, shared)
+
+    def _qp_data_inner(zhor, shared: bool):
         if shared:
             Beta_j = jnp.einsum("kmj,j->km", c["Bm"], zhor[0])[None]  # (1, NL, m)
         else:
