@@ -612,12 +612,18 @@ class NonlinearKmpc(_KmpcBase):
                  + rho * jnp.eye(Np * m, dtype=Sy.dtype))
             f = (2.0 * Sy.T @ (self.Qd * (sy - ref.reshape(-1)))
                  - 2.0 * rho * Ul.reshape(-1))
-            # state bounds act on stacked zeta[:n]
-            Zn = Sz[:, : n, :].reshape((Np + 1) * n, Np * m)
-            zn = sz[:, : n].reshape(-1)
-            L = jnp.concatenate([self.Fj, self.E @ Zn], axis=0)
-            b = jnp.concatenate(
-                [self.cFj, self.cE - self.E @ zn])
+            if self.E.shape[0]:
+                # state bounds act on stacked zeta[:n]
+                Zn = Sz[:, : n, :].reshape((Np + 1) * n, Np * m)
+                zn = sz[:, : n].reshape(-1)
+                L = jnp.concatenate([self.Fj, self.E @ Zn], axis=0)
+                b = jnp.concatenate(
+                    [self.cFj, self.cE - self.E @ zn])
+            else:
+                # empty-E concat would make L depend on the (batched) Sz and
+                # silently disqualify the QP from the lane-shared Pallas
+                # route under vmap (A flagged batched -> slow fallback)
+                L, b = self.Fj, self.cFj
             Pz, fz, Az, bz = self._eliminate_u0(2.0 * H, f, L, b, u_prev)
             sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
                            x0=Ul[1:].reshape(-1),

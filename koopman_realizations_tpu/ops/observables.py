@@ -171,9 +171,37 @@ class KoopmanBasis:
     def _family_feats(self, kind: str, degree: int, zeta):
         nz = self.nzeta_aug
         if kind == "poly":
-            E = poly_exponents(nz, degree)[nz:]  # skip degree-1 repeats
-            pw = _power_table(degree, zeta)  # (degree+1, nz)
-            return jnp.prod(pw[E, np.arange(nz)[None, :]], axis=1)
+            # Parent-recurrence evaluation, vectorized per degree: every
+            # degree-d monomial is z_i times a degree-(d-1) monomial, so
+            # each degree block is ONE static gather + ONE elementwise
+            # multiply (v_d = v_{d-1}[parent] * z[dim]).  The exponent-table
+            # gather this replaces ((rows, nz) advanced indexing into the
+            # power table) materializes a (B, rows, nz) intermediate under
+            # vmap and dominated the lift cost on TPU; a scalar-by-scalar
+            # recurrence (one multiply per row + a rows-way stack) was fast
+            # on TPU too but provokes an XLA:CPU compiler segfault at this
+            # width.  Row order is untouched (``partitions.m`` order).
+            blocks = [partitions_ones(d, nz) for d in range(1, degree + 1)]
+            pos = {tuple(int(v) for v in e): r
+                   for r, e in enumerate(blocks[0])}
+            feats, prev = [], zeta
+            for d in range(2, degree + 1):
+                parent_idx = np.empty(len(blocks[d - 1]), np.int32)
+                dim_idx = np.empty(len(blocks[d - 1]), np.int32)
+                newpos = {}
+                for r, row in enumerate(blocks[d - 1]):
+                    e = tuple(int(v) for v in row)
+                    i = next(k for k in range(nz) if e[k] > 0)
+                    parent = e[:i] + (e[i] - 1,) + e[i + 1:]
+                    parent_idx[r] = pos[parent]
+                    dim_idx[r] = i
+                    newpos[e] = r
+                prev = prev[parent_idx] * zeta[dim_idx]
+                feats.append(prev)
+                pos = newpos
+            if not feats:                    # degree 1: no extra monomials
+                return jnp.zeros((0,), zeta.dtype)
+            return jnp.concatenate(feats)
         if kind == "fourier":
             # per-dim [1, cos(2*pi*j*z), sin(2*pi*j*z)]_j, full tensor kron
             # (Ksysid.def_fourierLift:707-724); kron runs last dim fastest.
