@@ -37,10 +37,10 @@ def main():
 
     # steps=301 runs the FULL 15 s blockM trajectory (like the reference's
     # experiments) -- it also amortizes the ~35 ms axon tunnel dispatch that
-    # a 30-step loop pays as ~1.2 ms/step of phantom cost.  B=4096 is the
-    # measured throughput peak since the round-2c kernel/assembly work
-    # (8192 was the peak before; the curve is flat-ish 2048-8192).
-    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    # a 30-step loop pays as ~1.2 ms/step of phantom cost.  B=16384 is the
+    # measured throughput peak since the factored in-kernel-Gram IPM
+    # (6.22M vs 5.62M at 4096; error/alive identical across 4k-16k).
+    batch = int(os.environ.get("BENCH_BATCH", "16384"))
     steps = int(os.environ.get("BENCH_STEPS", "301"))
 
     ds = load_data4sysid(DATAFILE)

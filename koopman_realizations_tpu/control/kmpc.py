@@ -34,7 +34,7 @@ from koopman_realizations_tpu.models.koopman import (
     LinearModel,
     NonlinearModel,
 )
-from koopman_realizations_tpu.ops.qp import solve_qp
+from koopman_realizations_tpu.ops.qp import solve_qp, solve_qp_factored
 
 
 # --------------------------------------------------------------------------
@@ -352,21 +352,29 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
             Beta_j = jnp.einsum("kmj,pj->pkm", c["Bm"], zhor)  # (Np, NL, m)
         CB = block_toeplitz(c["PAt"], Beta_j, shared)
         CAz = (c["PA"] @ z).reshape(-1)
+        if not has_sb:
+            # factored objective: the reduced-QP Hessian/gradient are
+            # Pz = 2 (W^T W + diag(Rd[m:])), fz = 2 W^T v with
+            # W = sqrt(Q) CB[:, m:] and v = sqrt(Q)(CAz - Yr + CB0 u_prev)
+            # (the Rd cross-block is zero, so u0 elimination folds entirely
+            # into v).  Keeping it factored lets the Pallas IPM form the
+            # Gram in-kernel instead of a batched-small host GEMM.
+            sq = jnp.sqrt(c["Qd"])
+            W = sq[:, None] * CB[:, m:]
+            v = sq * (CAz - Yr + CB[:, :m] @ u_prev)
+            return W, v, None, None
         H = CB.T @ (c["Qd"][:, None] * CB) + jnp.diag(c["Rd"])
         f = 2.0 * CB.T @ (c["Qd"] * (CAz - Yr))
-        L = c["Fj"]
-        b = c["cFj"]
-        if has_sb:
-            # k = 2..Np blocks only; k=0 is the fixed state and k=1 depends
-            # only on the pinned u_0 (see state_constraint_rows)
-            EW = block_toeplitz(c["EAt"], Beta_j, shared)[2 * n:]
-            zn = (c["EA"] @ z).reshape(-1)[2 * n:]
-            L = jnp.concatenate([L, -EW, EW], axis=0)
-            b = jnp.concatenate([
-                b,
-                -jnp.tile(c["sb_lo"], Np - 1) + zn,
-                jnp.tile(c["sb_hi"], Np - 1) - zn,
-            ])
+        # k = 2..Np blocks only; k=0 is the fixed state and z_1 depends
+        # only on the pinned u_0 (see state_constraint_rows)
+        EW = block_toeplitz(c["EAt"], Beta_j, shared)[2 * n:]
+        zn = (c["EA"] @ z).reshape(-1)[2 * n:]
+        L = jnp.concatenate([c["Fj"], -EW, EW], axis=0)
+        b = jnp.concatenate([
+            c["cFj"],
+            -jnp.tile(c["sb_lo"], Np - 1) + zn,
+            jnp.tile(c["sb_hi"], Np - 1) - zn,
+        ])
         return 2.0 * H, f, L, b
 
     if U_init is None:
@@ -379,14 +387,23 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
     for it in range(iters):
         # first pass linearizes about Beta(z) held constant over the horizon
         # (the reference's choice at Ksim.m:210); later passes re-roll zhor
-        P, f, L, b = qp_data(zhor, shared=(it == 0))
-        Pz = P[m:, m:]
-        fz = f[m:] + P[m:, :m] @ u_prev
-        Az = L[:, m:]
-        bz = b - L[:, :m] @ u_prev
-        sol = solve_qp(Pz, fz, Az, bz, iters=qp_iters,
-                       x0=x0 if warm else None, shared_A=not has_sb,
-                       backend=backend, band_offset=band, lam0=lam_init)
+        if has_sb:
+            P, f, L, b = qp_data(zhor, shared=(it == 0))
+            Pz = P[m:, m:]
+            fz = f[m:] + P[m:, :m] @ u_prev
+            Az = L[:, m:]
+            bz = b - L[:, :m] @ u_prev
+            sol = solve_qp(Pz, fz, Az, bz, iters=qp_iters,
+                           x0=x0 if warm else None, shared_A=False,
+                           backend=backend, band_offset=band, lam0=lam_init)
+        else:
+            W, v, _, _ = qp_data(zhor, shared=(it == 0))
+            Az = c["Fj"][:, m:]
+            bz = c["cFj"] - c["Fj"][:, :m] @ u_prev
+            sol = solve_qp_factored(
+                W, v, c["Rd"][m:], Az, bz, iters=qp_iters,
+                x0=x0 if warm else None, backend=backend,
+                band_offset=band, lam0=lam_init)
         U, ok = jnp.concatenate([u_prev, sol.x]).reshape(Np, m), sol.ok
         lam_init = sol.lam            # later passes re-warm from this pass
         if it + 1 == iters:

@@ -106,7 +106,7 @@ def _chol_solve_lanes(L, rdiag, rhs, n):
     return jnp.stack(xs, axis=0)
 
 
-def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual,
+def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
                 P_ref, q_ref, b_ref, x0_ref, iobj_ref, A_ref, At_ref,
                 *rest):
     """One 128-lane tile: full fixed-iteration Mehrotra predictor-corrector.
@@ -114,6 +114,15 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual,
     All inputs pre-equilibrated except P (scaled in-VMEM by iobj); shapes:
     P (n, n, T), q/x0 (n, T), b (mc, T), iobj (1, T), A (mc, n) shared,
     At = A^T.
+
+    ``factored``: the objective arrives in least-squares form instead --
+    P_ref carries W (p, n, T) with P = 2 (W^T W + diag(r)), q_ref carries
+    v (p, T) with q = 2 W^T v, and iobj_ref carries r (1, n) shared.  The
+    Gram, the objective scale (max |P|), and the equilibrated q are then
+    formed IN-KERNEL as lanes-minor VPU ops -- the host-side batched-small
+    Gram GEMM this replaces is the MPC assembly's dominant cost.  The
+    per-lane objective scale is written to an extra output (after lam) so
+    the wrapper can restore original-unit multipliers.
 
     ``band`` selects the Newton-matrix formation:
     - None: dense -- ``rest`` carries OT (n*n, mc), the flattened row outer
@@ -135,13 +144,35 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual,
     reg = jnp.float32(1e-7)
     mu_floor = jnp.float32(1e-8)
 
-    x_ref, s_ref, lam_ref = rest[-3:]
-    iobj = iobj_ref[0, :]                              # (T,)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     coli = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     eye = (rowi == coli).astype(jnp.float32)
-    Pr = P_ref[...] * iobj[None, None, :] + reg * eye[..., None]
-    q = q_ref[...]
+    if factored:
+        x_ref, s_ref, lam_ref, obj_ref = rest[-4:]
+        W = P_ref[...]                                 # (p, n, T)
+        v = q_ref[...]                                 # (p, T)
+        rdiag_obj = iobj_ref[0, :]                     # (n,) shared
+        p = W.shape[0]
+        # Gram 2 (W^T W + diag(r)): p lanes-minor rank-1 accumulations.
+        # The diag embed stays 2D until the trailing broadcast -- Mosaic
+        # rejects the (n,) -> (n, 1, 1) shape cast.
+        P = (eye * (2.0 * rdiag_obj)[None, :])[..., None]
+        qv = jnp.zeros((n, T), jnp.float32)
+        for r in range(p):
+            P = P + 2.0 * (W[r][:, None, :] * W[r][None, :, :])
+            qv = qv + W[r] * v[r][None, :]
+        qv = 2.0 * qv
+        # per-lane objective scale, exactly as the host path: max |P|
+        obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(0, 1)), 1e-8)   # (T,)
+        iobj = 1.0 / obj
+        obj_ref[...] = obj[None, :]
+        Pr = P * iobj[None, None, :] + reg * eye[..., None]
+        q = qv * iobj[None, :]
+    else:
+        x_ref, s_ref, lam_ref = rest[-3:]
+        iobj = iobj_ref[0, :]                          # (T,)
+        Pr = P_ref[...] * iobj[None, None, :] + reg * eye[..., None]
+        q = q_ref[...]
     b = b_ref[...]
     A = A_ref[...]
     At = At_ref[...]
@@ -175,9 +206,15 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual,
     x0 = x0_ref[...]
     s0 = jnp.maximum(b - _dot(A, x0), jnp.float32(slack_floor))
     if warm_dual:
-        # sqrt = geometric damping toward the cold lam = 1 (matches the
-        # pure path in ops.qp._solve_qp_impl; see rationale there)
-        lam0 = jnp.sqrt(jnp.clip(rest[-4][...], 1e-4, 1e4))
+        # lam0 arrives in ORIGINAL units right before the outputs; convert
+        # with this lane's scales, then sqrt = geometric damping toward the
+        # cold lam = 1 (matches ops.qp._solve_qp_impl; rationale there).
+        # In factored mode the equilibrated conversion must happen HERE
+        # because obj is only known in-kernel.
+        lam_raw = rest[-5][...] if factored else rest[-4][...]
+        if factored:
+            lam_raw = lam_raw * iobj[None, :]          # row scaling applied
+        lam0 = jnp.sqrt(jnp.clip(lam_raw, 1e-4, 1e4))  # by the wrapper
     else:
         lam0 = jnp.ones((mc, T), jnp.float32)
 
@@ -308,7 +345,7 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     iobjt = iobj[None, :]                # (1, Bp)
 
     kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor, tile,
-                             band, warm_dual)
+                             band, warm_dual, False)
     lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
     shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -337,6 +374,119 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     lam = lamt.T[:B]
 
     # ok / gap on the equilibrated problem, exactly as the pure-JAX path
+    with jax.default_matmul_precision("highest"):
+        gap = jnp.sum(s * lam, axis=1) / mc
+        r_p = jnp.max(jnp.maximum(x @ A_eq.T - b_eq[:B], 0.0), axis=1)
+        finite = jnp.all(jnp.isfinite(x), axis=1)
+        ok = finite & (gap < gap_sane) \
+            & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b_eq[:B]), axis=1), 1.0))
+        x = jnp.where(finite[:, None], x, jnp.nan)
+        lam_orig = lam * obj[:, None] / row[None, :]
+    return x, lam_orig, ok, gap
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "interpret", "tol", "gap_sane",
+                                    "tile", "band"))
+def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
+                              interpret: bool = False,
+                              tol: float = 3e-3, gap_sane: float = 5e-2,
+                              tile: int = LANE_TILE, band: int = None,
+                              lam0=None):
+    """Least-squares-form batched IPM: min ||W x + v||^2_2 + x^T diag(r) x
+    s.t. A x <= b, i.e. the dense-form problem with P = 2 (W^T W + diag(r))
+    and q = 2 W^T v.  W (B, p, n) and v (B, p) per-lane, r_diag (n,) shared,
+    A (mc, n) shared.  Lane-for-lane equivalent to forming P/q on the host
+    and calling ``solve_qp_shared_batched`` (same equilibration/ok rules up
+    to Gram summation order), but the Gram, objective scale, and
+    equilibrated gradient form IN-KERNEL -- the host-side batched-small
+    Gram GEMM is the MPC assembly's dominant cost at bench shapes.
+    """
+    W = jnp.asarray(W, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+    r_diag = jnp.asarray(r_diag, jnp.float32)
+    A = jnp.asarray(A, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    B, p, n = W.shape
+    mc = A.shape[0]
+
+    row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)        # (mc,)
+    A_eq = A / row[:, None]
+    b_eq = b / row[None, :]
+
+    slack_floor = 1.0 if x0 is None else 1e-2
+    if x0 is None:
+        x0 = jnp.zeros((B, n), jnp.float32)
+    x0 = jnp.asarray(x0, jnp.float32)
+    warm_dual = lam0 is not None
+    if warm_dual:
+        # row scaling here; the per-lane 1/obj factor is applied in-kernel
+        # (obj = max |P| is only known once the Gram is formed)
+        lam0_row = jnp.asarray(lam0, jnp.float32) * row[None, :]
+
+    At = A_eq.T
+    if band is None:
+        structured = (jnp.einsum("ci,cj->ijc", A_eq, A_eq).reshape(n * n, mc),)
+        struct_specs = [(n * n, mc)]
+    else:
+        Wd = (A_eq * A_eq).T
+        if band > 0:
+            Wo = (A_eq[:, :n - band] * A_eq[:, band:]).T
+        else:
+            Wo = jnp.zeros((1, mc), jnp.float32)
+        structured = (Wd, Wo)
+        struct_specs = [(n, mc), (Wo.shape[0], mc)]
+
+    pad = (-B) % tile
+    if pad:
+        # padded lanes solve min ||0 x||^2 + x^T r x (plus the in-kernel
+        # regularization): trivially feasible and ignored on return
+        W = jnp.concatenate([W, jnp.zeros((pad, p, n), W.dtype)], 0)
+        v = jnp.concatenate([v, jnp.zeros((pad, p), v.dtype)], 0)
+        b_eq = jnp.concatenate([b_eq, jnp.ones((pad, mc), b.dtype)], 0)
+        x0 = jnp.concatenate([x0, jnp.zeros((pad, n), x0.dtype)], 0)
+        if warm_dual:
+            lam0_row = jnp.concatenate(
+                [lam0_row, jnp.ones((pad, mc), jnp.float32)], 0)
+    Bp = W.shape[0]
+
+    Wt = W.transpose(1, 2, 0)            # (p, n, Bp) lanes-minor
+    vt = v.T
+    bt = b_eq.T
+    x0t = x0.T
+    rt = r_diag[None, :]                 # (1, n) shared
+
+    kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor, tile,
+                             band, warm_dual, True)
+    lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    xt, st, lamt, objt = pl.pallas_call(
+        kern,
+        grid=(Bp // tile,),
+        in_specs=[
+            pl.BlockSpec((p, n, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            lane2(p), lane2(mc), lane2(n), shared(1, n),
+            shared(mc, n), shared(n, mc),
+            *[shared(r, c) for r, c in struct_specs],
+            *([lane2(mc)] if warm_dual else []),
+        ],
+        out_specs=[lane2(n), lane2(mc), lane2(mc), lane2(1)],
+        out_shape=[jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Bp), jnp.float32)],
+        interpret=interpret,
+    )(Wt, vt, bt, x0t, rt, A_eq, At, *structured,
+      *([lam0_row.T] if warm_dual else []))
+
+    x = xt.T[:B]
+    s = st.T[:B]
+    lam = lamt.T[:B]
+    obj = objt[0, :B]
+
     with jax.default_matmul_precision("highest"):
         gap = jnp.sum(s * lam, axis=1) / mc
         r_p = jnp.max(jnp.maximum(x @ A_eq.T - b_eq[:B], 0.0), axis=1)

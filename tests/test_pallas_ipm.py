@@ -203,3 +203,38 @@ def test_kernel_dual_warm_start():
     mb = np.asarray(ok_c) & np.asarray(ok_b)
     assert mb.mean() > 0.9
     assert np.abs(np.asarray(x_b) - np.asarray(x_c))[mb].max() < 5e-3
+
+
+def test_kernel_factored_matches_dense():
+    """Least-squares-form kernel == dense-form kernel lane-for-lane (the
+    Gram, objective scale, and equilibrated gradient move in-kernel)."""
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_factored_batched,
+    )
+
+    B, p, n, m = 96, 22, 27, 3
+    rng = np.random.default_rng(11)
+    W = rng.normal(size=(B, p, n)).astype(np.float32)
+    v = rng.normal(size=(B, p)).astype(np.float32)
+    r = (np.abs(rng.normal(size=n)) * 0.1).astype(np.float32)
+    A_np, cns = _box_slope_stack(n, m)
+    b = np.tile(cns[None], (B, 1))
+    P = 2.0 * (np.einsum("bpi,bpj->bij", W, W) + np.eye(n) * r)
+    q = 2.0 * np.einsum("bpi,bp->bi", W, v)
+    x0 = jnp.zeros((B, n), jnp.float32)
+    lam0 = jnp.ones((B, A_np.shape[0]), jnp.float32)
+
+    x_d, lam_d, ok_d, _ = solve_qp_shared_batched(
+        jnp.asarray(P.astype(np.float32)), jnp.asarray(q.astype(np.float32)),
+        jnp.asarray(A_np), jnp.asarray(b), x0=x0, iters=16, band=m,
+        lam0=lam0, interpret=True)
+    x_f, lam_f, ok_f, _ = solve_qp_factored_batched(
+        jnp.asarray(W), jnp.asarray(v), jnp.asarray(r), jnp.asarray(A_np),
+        jnp.asarray(b), x0=x0, iters=16, band=m, lam0=lam0, interpret=True)
+    okm = np.asarray(ok_d) & np.asarray(ok_f)
+    assert okm.mean() > 0.9
+    dx = np.abs(np.asarray(x_f) - np.asarray(x_d))[okm]
+    assert np.median(dx) < 2e-5
+    assert dx.max() < 5e-3
+    dl = np.abs(np.asarray(lam_f) - np.asarray(lam_d))[okm]
+    assert np.median(dl) < 1e-3 * max(1.0, np.abs(np.asarray(lam_d)).max())
