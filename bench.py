@@ -53,15 +53,15 @@ def main():
                                     obs_degree=(3,), dim_red=True,
                                     dtype="float32")).train_models()
 
-    # qp_iters=4 + the dual warm start (qp_dual_warm, default on): a
-    # real-time-iteration regime verified on THIS workload over the full
-    # 301-step trajectory -- alive_fraction 1.0 at B=8192, mean lane error
-    # 0.0202 (vs 0.0203 at qp_iters=8..10) and the WORST lane improves
-    # (0.0215 vs 0.0267).  Without the dual warm start 5 iterations are
+    # qp_iters=3 + the dual warm start (qp_dual_warm): a real-time-
+    # iteration regime verified on THIS workload over the full 301-step
+    # trajectory -- alive_fraction 1.0 at B=16384, mean lane error 0.0203
+    # (== golden) and the WORST lane improves vs the 8-iteration run
+    # (0.0216 vs 0.0267).  Without the dual warm start 5 iterations are
     # needed for the same quality; the library default stays 10 for margin
     # on harder bases (snake fourier).
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10, qp_iters=4, qp_dual_warm=True,
+        horizon=10, qp_iters=3, qp_dual_warm=True,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1,
         cost_running=10.0, cost_terminal=100.0,

@@ -34,10 +34,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# 128 is measured optimal: at bench shapes (n=27, mc=108, B=8192, iters=8)
-# tile=256 is ~300x slower (Mosaic VMEM scheduling collapses once the tile
-# exceeds one vreg lane width) and tile=512 fails to compile.
+# 128 is measured optimal for the dense-P kernel: at bench shapes (n=27,
+# mc=108, B=8192, iters=8) tile=256 is ~300x slower (Mosaic VMEM scheduling
+# collapses once the tile exceeds one vreg lane width) and tile=512 fails
+# to compile.  The slimmer FACTORED kernel inverts this: tile=256 measured
+# ~16% faster (in-process A/B at n=27, p=22, iters=3), 512 still fails.
 LANE_TILE = 128
+FACTORED_LANE_TILE = 256
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -391,7 +394,7 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
 def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
                               interpret: bool = False,
                               tol: float = 3e-3, gap_sane: float = 5e-2,
-                              tile: int = LANE_TILE, band: int = None,
+                              tile: int = FACTORED_LANE_TILE, band: int = None,
                               lam0=None):
     """Least-squares-form batched IPM: min ||W x + v||^2_2 + x^T diag(r) x
     s.t. A x <= b, i.e. the dense-form problem with P = 2 (W^T W + diag(r))

@@ -90,10 +90,12 @@ def main():
     consts = bilinear_consts(mpc)
     Np, m, nproj = mpc.Np, mpc.m, mpc.nproj
 
-    from koopman_realizations_tpu.ops.pallas.qp_ipm import solve_qp_shared_batched
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_factored_batched,
+    )
 
     def assemble_one(c, z1, up, Upl):
-        """qp_data + u0 elimination, mirroring bilinear_solve_pure iters=1."""
+        """Factored qp_data (W, v), mirroring bilinear_solve_pure iters=1."""
         refp = _pad_ref(refhor, Np, nproj)
         Yr = refp.reshape(-1)
         Beta = jnp.einsum("kmj,j->km", c["Bm"], z1)
@@ -101,19 +103,19 @@ def main():
         r = c["PA"].shape[1]
         CB = g.transpose(0, 2, 1, 3).reshape((Np + 1) * r, Np * m)
         CAz = (c["PA"] @ z1).reshape(-1)
-        H = CB.T @ (c["Qd"][:, None] * CB) + jnp.diag(c["Rd"])
-        f = 2.0 * CB.T @ (c["Qd"] * (CAz - Yr))
-        P = 2.0 * H
-        Pz = P[m:, m:]
-        fz = f[m:] + P[m:, :m] @ up
+        sq = jnp.sqrt(c["Qd"])
+        W = sq[:, None] * CB[:, m:]
+        v = sq * (CAz - Yr + CB[:, :m] @ up)
         x0 = jnp.concatenate([Upl[2:], Upl[-1:]], axis=0).reshape(-1)
-        return Pz, fz, x0
+        return W, v, x0
 
     Av = jnp.asarray(consts["Fj"][:, m:])
     bv = jnp.asarray(consts["cFj"])
-    Pz, qz, x0z = jax.jit(jax.vmap(
+    Wz, vz, x0z = jax.jit(jax.vmap(
         lambda zz, uu, UU: assemble_one(consts, zz, uu, UU)))(z, u_prev, U_plan)
-    bz = jnp.broadcast_to(bv[None], (B,) + bv.shape)
+    bz = jnp.broadcast_to(bv[None], (B,) + bv.shape) - \
+        (u_prev @ jnp.asarray(consts["Fj"][:, :m]).T)
+    rdz = jnp.asarray(consts["Rd"][m:])
 
     def chain(fn, seed, k):
         """Chain k dependent applications of fn; fn(x)->x-like; fetch scalar."""
@@ -143,8 +145,8 @@ def main():
     lam_seed = jnp.ones((B, Av.shape[0]), jnp.float32)
     def kern_step(carry):
         x, lam = carry
-        xs, lam1, ok, gap = solve_qp_shared_batched(
-            Pz, qz, Av, bz, x0=0.99 * x, iters=mpc.cfg.qp_iters,
+        xs, lam1, ok, gap = solve_qp_factored_batched(
+            Wz, vz, rdz, Av, bz, x0=0.99 * x, iters=mpc.cfg.qp_iters,
             band=mpc._band, lam0=lam)
         return xs, lam1
     results["qp_kernel"] = slope_clock(lambda k: chain(
