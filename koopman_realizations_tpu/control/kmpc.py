@@ -625,28 +625,43 @@ class NonlinearKmpc(_KmpcBase):
             # transients (fmincon's line search avoids it); rho trades the
             # transient peak against steady-state tracking
             rho = self.cfg.sqp_damping * (self.cfg.sqp_damping_decay ** it)
-            H = (Sy.T @ (self.Qd[:, None] * Sy) + jnp.diag(self.Rd)
-                 + rho * jnp.eye(Np * m, dtype=Sy.dtype))
-            f = (2.0 * Sy.T @ (self.Qd * (sy - ref.reshape(-1)))
-                 - 2.0 * rho * Ul.reshape(-1))
             if self.E.shape[0]:
                 # state bounds act on stacked zeta[:n]
+                H = (Sy.T @ (self.Qd[:, None] * Sy) + jnp.diag(self.Rd)
+                     + rho * jnp.eye(Np * m, dtype=Sy.dtype))
+                f = (2.0 * Sy.T @ (self.Qd * (sy - ref.reshape(-1)))
+                     - 2.0 * rho * Ul.reshape(-1))
                 Zn = Sz[:, : n, :].reshape((Np + 1) * n, Np * m)
                 zn = sz[:, : n].reshape(-1)
                 L = jnp.concatenate([self.Fj, self.E @ Zn], axis=0)
                 b = jnp.concatenate(
                     [self.cFj, self.cE - self.E @ zn])
+                Pz, fz, Az, bz = self._eliminate_u0(2.0 * H, f, L, b, u_prev)
+                sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
+                               x0=Ul[1:].reshape(-1), shared_A=False,
+                               backend=self.cfg.qp_backend,
+                               band_offset=self._band)
             else:
-                # empty-E concat would make L depend on the (batched) Sz and
-                # silently disqualify the QP from the lane-shared Pallas
-                # route under vmap (A flagged batched -> slow fallback)
-                L, b = self.Fj, self.cFj
-            Pz, fz, Az, bz = self._eliminate_u0(2.0 * H, f, L, b, u_prev)
-            sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
-                           x0=Ul[1:].reshape(-1),
-                           shared_A=self.cfg.state_bounds is None,
-                           backend=self.cfg.qp_backend,
-                           band_offset=self._band)
+                # factored form: the reduced Hessian is
+                # 2 ([sqrt(Q) Sy_z; sqrt(rho) I]^T [..] + diag(Rd[m:])) and
+                # the Levenberg term + u0 elimination fold into v rows
+                # (Rd/rho are diagonal, so no cross-block survives).  Keeps
+                # the SQP's inner QPs on the in-kernel-Gram Pallas route.
+                sq = jnp.sqrt(self.Qd)
+                Wls = jnp.concatenate([
+                    sq[:, None] * Sy[:, m:],
+                    jnp.sqrt(rho) * jnp.eye(Np * m - m, dtype=Sy.dtype),
+                ], axis=0)
+                vls = jnp.concatenate([
+                    sq * (sy - ref.reshape(-1) + Sy[:, :m] @ u_prev),
+                    -jnp.sqrt(rho) * Ul.reshape(-1)[m:],
+                ])
+                Az = self.Fj[:, m:]
+                bz = self.cFj - self.Fj[:, :m] @ u_prev
+                sol = solve_qp_factored(
+                    Wls, vls, self.Rd[m:], Az, bz,
+                    iters=self.cfg.qp_iters, x0=Ul[1:].reshape(-1),
+                    backend=self.cfg.qp_backend, band_offset=self._band)
             U_qp, ok = self._assemble_U(u_prev, sol.x), sol.ok
             U = self._line_search(zeta, Ul, U_qp, ref)
             if self.cfg.sqp_best_of_passes:
