@@ -110,6 +110,7 @@ def _chol_solve_lanes(L, rdiag, rhs, n):
 
 
 def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
+                shared_P,
                 P_ref, q_ref, b_ref, x0_ref, iobj_ref, A_ref, At_ref,
                 *rest):
     """One 128-lane tile: full fixed-iteration Mehrotra predictor-corrector.
@@ -171,6 +172,13 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
         obj_ref[...] = obj[None, :]
         Pr = P * iobj[None, None, :] + reg * eye[..., None]
         q = qv * iobj[None, :]
+    elif shared_P:
+        # lane-shared Hessian (static condensed MPC): P arrives (n, n),
+        # pre-equilibrated on the host; Pr stays (n, n, 1) and broadcasts
+        # against the per-lane terms -- no (B, n, n) HBM traffic at all
+        x_ref, s_ref, lam_ref = rest[-3:]
+        Pr = P_ref[...][..., None] + reg * eye[..., None]
+        q = q_ref[...]
     else:
         x_ref, s_ref, lam_ref = rest[-3:]
         iobj = iobj_ref[0, :]                          # (T,)
@@ -257,6 +265,8 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
         step = lambda v, dv: jnp.where(jnp.isfinite(dv), v + alpha * dv, v)
         return step(x, dx), step(s, ds), step(lam, dlam)
 
+    # NOTE: unrolling this loop for small iters measured no gain (Mosaic
+    # does not exploit cross-iteration scheduling here)
     x, s, lam = jax.lax.fori_loop(0, iters, body, (x0, s0, lam0))
     x_ref[...] = x
     s_ref[...] = s
@@ -265,12 +275,12 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
 
 @functools.partial(jax.jit,
                    static_argnames=("iters", "interpret", "tol", "gap_sane",
-                                    "tile", "band"))
+                                    "tile", "band", "shared_P"))
 def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
                             interpret: bool = False,
                             tol: float = 3e-3, gap_sane: float = 5e-2,
                             tile: int = LANE_TILE, band: int = None,
-                            lam0=None):
+                            lam0=None, shared_P: bool = False):
     """Batched lane-shared-A interior-point solve; returns (x, lam, ok, gap).
 
     P (B, n, n), q (B, n), b (B, mc) per-lane; A (mc, n) SHARED across the
@@ -287,6 +297,10 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     equilibration) units -- pass the previous receding-horizon step's
     ``lam`` output.  Floored inside the kernel, so a cold caller can also
     pass ones.  Cuts the iterations needed to re-converge between steps.
+
+    ``shared_P``: P is (n, n), shared across all lanes (static condensed
+    MPC): the equilibrated Hessian ships to the kernel once as a shared
+    block instead of a broadcast (B, n, n) lanes-minor array.
     """
     P = jnp.asarray(P, jnp.float32)
     q = jnp.asarray(q, jnp.float32)
@@ -297,12 +311,15 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
 
     # equilibration (ops.qp._solve_qp_impl): per-lane objective scale,
     # shared constraint-row scale
-    obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(1, 2)), 1e-8)    # (B,)
+    if shared_P:
+        obj = jnp.maximum(jnp.max(jnp.abs(P)), 1e-8)             # scalar
+    else:
+        obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(1, 2)), 1e-8)  # (B,)
     iobj = (1.0 / obj)
     row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)        # (mc,)
     A_eq = A / row[:, None]
     b_eq = b / row[None, :]
-    q_eq = q * iobj[:, None]
+    q_eq = q * iobj if shared_P else q * iobj[:, None]
 
     # cold starts need a well-centered slack; warm starts keep their head
     # start (same rule as ops.qp._solve_qp_impl)
@@ -313,7 +330,8 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     warm_dual = lam0 is not None
     if warm_dual:
         # original -> equilibrated units: lam_eq = lam_orig * row / obj
-        lam0_eq = jnp.asarray(lam0, jnp.float32) * row[None, :] * iobj[:, None]
+        lam0_eq = jnp.asarray(lam0, jnp.float32) * row[None, :] \
+            * (iobj if shared_P else iobj[:, None])
 
     At = A_eq.T
     if band is None:
@@ -330,25 +348,35 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
 
     pad = (-B) % tile
     if pad:
-        P = jnp.concatenate(
-            [P, jnp.tile(jnp.eye(n, dtype=P.dtype)[None], (pad, 1, 1))], 0)
+        if not shared_P:
+            P = jnp.concatenate(
+                [P, jnp.tile(jnp.eye(n, dtype=P.dtype)[None], (pad, 1, 1))],
+                0)
+            iobj = jnp.concatenate([iobj, jnp.ones((pad,), iobj.dtype)], 0)
         q_eq = jnp.concatenate([q_eq, jnp.zeros((pad, n), q.dtype)], 0)
         b_eq = jnp.concatenate([b_eq, jnp.ones((pad, mc), b.dtype)], 0)
         x0 = jnp.concatenate([x0, jnp.zeros((pad, n), x0.dtype)], 0)
-        iobj = jnp.concatenate([iobj, jnp.ones((pad,), iobj.dtype)], 0)
         if warm_dual:
             lam0_eq = jnp.concatenate(
                 [lam0_eq, jnp.ones((pad, mc), jnp.float32)], 0)
     Bp = q_eq.shape[0]
 
-    Pt = P.transpose(1, 2, 0)            # (n, n, Bp) lanes-minor
+    if shared_P:
+        Pt = P * iobj                    # (n, n) pre-equilibrated, shared
+        P_spec = pl.BlockSpec((n, n), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        iobjt = jnp.ones((1, Bp), jnp.float32)        # unused in-kernel
+    else:
+        Pt = P.transpose(1, 2, 0)        # (n, n, Bp) lanes-minor
+        P_spec = pl.BlockSpec((n, n, tile), lambda i: (0, 0, i),
+                              memory_space=pltpu.VMEM)
+        iobjt = iobj[None, :]            # (1, Bp)
     qt = q_eq.T
     bt = b_eq.T
     x0t = x0.T
-    iobjt = iobj[None, :]                # (1, Bp)
 
     kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor, tile,
-                             band, warm_dual, False)
+                             band, warm_dual, False, shared_P)
     lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
     shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -357,8 +385,7 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
         kern,
         grid=(Bp // tile,),
         in_specs=[
-            pl.BlockSpec((n, n, tile), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
+            P_spec,
             lane2(n), lane2(mc), lane2(n), lane2(1),
             shared(mc, n), shared(n, mc),
             *[shared(r, c) for r, c in struct_specs],
@@ -384,7 +411,7 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
         ok = finite & (gap < gap_sane) \
             & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b_eq[:B]), axis=1), 1.0))
         x = jnp.where(finite[:, None], x, jnp.nan)
-        lam_orig = lam * obj[:, None] / row[None, :]
+        lam_orig = lam * (obj if shared_P else obj[:, None]) / row[None, :]
     return x, lam_orig, ok, gap
 
 
@@ -460,7 +487,7 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
     rt = r_diag[None, :]                 # (1, n) shared
 
     kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor, tile,
-                             band, warm_dual, True)
+                             band, warm_dual, True, False)
     lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
     shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),

@@ -248,10 +248,12 @@ def _pallas_routed_solver(iters: int, warm: bool, band: int = None,
             return out, (True, True, True, True)
         bc = lambda v, vb: v if vb else \
             jnp.broadcast_to(v[None], (axis_size,) + v.shape)
+        # a lane-shared Hessian (static condensed MPC) ships to the kernel
+        # once instead of as a broadcast (B, n, n) lanes-minor array
         x, lam, ok, gap = solve_qp_shared_batched(
-            bc(P, Pb), bc(q, qb), A, bc(b, bb),
+            P, bc(q, qb), A, bc(b, bb),
             x0=bc(x0, xb) if warm else None, iters=iters, band=band,
-            lam0=bc(lam0, lb) if warm_dual else None)
+            lam0=bc(lam0, lb) if warm_dual else None, shared_P=not Pb)
         return (x, lam, ok, gap), (True, True, True, True)
 
     _ROUTED_CACHE[key] = solve

@@ -12,7 +12,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+if "parallel_codegen_split_count" not in flags:
+    # XLA:CPU's parallel LLVM codegen intermittently segfaults/aborts deep
+    # into a long one-process suite (observed at >40 compiled programs;
+    # state-dependent, moves between tests).  Single-split codegen trades a
+    # little compile time for a deterministic suite.
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402

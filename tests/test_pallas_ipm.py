@@ -238,3 +238,26 @@ def test_kernel_factored_matches_dense():
     assert dx.max() < 5e-3
     dl = np.abs(np.asarray(lam_f) - np.asarray(lam_d))[okm]
     assert np.median(dl) < 1e-3 * max(1.0, np.abs(np.asarray(lam_d)).max())
+
+
+def test_kernel_shared_P_matches_batched_P():
+    """Lane-shared Hessian path == per-lane path when all lanes share P."""
+    B, n, mc = 96, 12, 30
+    P1, q, A, b = _random_qps(1, n, mc, seed=21)
+    P1 = P1[0]
+    qB, bB = jnp.tile(q, (B, 1)) * jnp.linspace(0.5, 2.0, B)[:, None], \
+        jnp.tile(b[:1], (B, 1))
+    x0 = jnp.zeros((B, n), jnp.float32)
+    lam0 = jnp.ones((B, mc), jnp.float32)
+
+    x_b, lam_b, ok_b, _ = solve_qp_shared_batched(
+        jnp.tile(P1[None], (B, 1, 1)), qB, A, bB, x0=x0, iters=16,
+        lam0=lam0, interpret=True)
+    x_s, lam_s, ok_s, _ = solve_qp_shared_batched(
+        P1, qB, A, bB, x0=x0, iters=16, lam0=lam0, interpret=True,
+        shared_P=True)
+    m = np.asarray(ok_b) & np.asarray(ok_s)
+    assert m.mean() > 0.9
+    dx = np.abs(np.asarray(x_s) - np.asarray(x_b))[m]
+    assert np.median(dx) < 2e-5
+    assert dx.max() < 5e-3
