@@ -545,8 +545,15 @@ class NonlinearKmpc(_KmpcBase):
         """Linearize dynamics along (Zl, Ul) and condense to U-only form.
 
         Returns (Sz [stacked zeta wrt U], s0 [affine part]) with
-        Z = s0 + Sz @ vec(U).
+        Z = s0 + Sz @ vec(U).  Runs at HIGH (3-pass bf16) matmul precision:
+        it only builds the SQP linearization (~1e-6 of f32), and the
+        closed-loop step otherwise pins HIGHEST, which doubles the cost of
+        every small matmul in the Jacobian/propagation chain.
         """
+        with jax.default_matmul_precision("high"):
+            return self._condense_inner(Zl, Ul, zeta0)
+
+    def _condense_inner(self, Zl, Ul, zeta0):
         Np, nz, m = self.Np, self.nz, self.m
         jac_z = jax.vmap(jax.jacfwd(self.F_fn, argnums=0))(Zl, Ul)   # (Np,nz,nz)
         jac_u = jax.vmap(jax.jacfwd(self.F_fn, argnums=1))(Zl, Ul)   # (Np,nz,m)
