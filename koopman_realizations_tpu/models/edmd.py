@@ -145,8 +145,19 @@ class Ksysid:
         return np.asarray(sp.alpha)
 
     def _lift_rows(self, fn, rows: np.ndarray) -> jnp.ndarray:
-        rows = jnp.asarray(rows, self.dtype)
-        return jax.jit(jax.vmap(fn))(rows)
+        """Batched lift of snapshot rows, pinned to the HOST CPU.
+
+        Training must be platform-independent: accelerator-evaluated f32
+        lifts differ from CPU f32 in the last bits, and the PCA's
+        smallest retained components (pca_explained=99.99 keeps a long
+        tail) amplify those bits into visibly different models -- the
+        hypersensitive NMPC transient measured 0.0207 vs 0.0142 mean
+        blockM error from a TPU-trained vs CPU-trained model.  The lift
+        is a one-time training cost; the closed loop never calls this.
+        """
+        rows = np.asarray(rows, self.dtype)
+        with jax.default_device(jax.devices("cpu")[0]):
+            return jax.jit(jax.vmap(fn))(jnp.asarray(rows))
 
     # ------------------------------------------------------ operator fitting
 
@@ -159,12 +170,19 @@ class Ksysid:
         - bilinear:  psi_input(zeta, u)    (N*(nw+1)*(m+1) columns)
         """
         sp = self.snapshot_pairs
-        alpha = jnp.asarray(sp.alpha, self.dtype)
-        beta = jnp.asarray(sp.beta, self.dtype)
-        u = jnp.asarray(sp.u, self.dtype)
-        w = None if sp.w is None else jnp.asarray(sp.w, self.dtype)
         b = self.basis
         mt = self.cfg.model_type
+        # host-CPU lift: platform-independent training (see _lift_rows)
+        with jax.default_device(jax.devices("cpu")[0]):
+            alpha = jnp.asarray(np.asarray(sp.alpha, self.dtype))
+            beta = jnp.asarray(np.asarray(sp.beta, self.dtype))
+            u = jnp.asarray(np.asarray(sp.u, self.dtype))
+            w = None if sp.w is None else \
+                jnp.asarray(np.asarray(sp.w, self.dtype))
+            return self._lift_snapshot_matrices_inner(alpha, beta, u, w, b,
+                                                      mt)
+
+    def _lift_snapshot_matrices_inner(self, alpha, beta, u, w, b, mt):
 
         if mt == "nonlinear":
             zau = jnp.concatenate([alpha, u], axis=1)
