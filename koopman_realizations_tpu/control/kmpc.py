@@ -503,6 +503,45 @@ class BilinearKmpc(_KmpcBase):
         return U, ok, lam
 
 
+def _compose_nonlinear_F(model: NonlinearModel):
+    """Fold the PCA econ basis and the Koopman output map into one matrix.
+
+    ``NonlinearModel.F`` evaluates W^T [x ; pcs^T g_full(x) ; 1] -- a
+    (N_full -> npcs) projection followed by a (N -> nzeta) output map on
+    EVERY vector-field/Jacobian evaluation.  Both maps are linear in the
+    raw feature vector g_full = [x ; feats(x) ; 1], so they compose
+    host-side (float64) into F(x) = A1 x + A2 feats(x) + a0 -- for the
+    bench NMPC model (N=175, N_full=220, nzeta=6) a ~30x matmul-FLOP
+    reduction per evaluation.  Exactness: pure reassociation of the same
+    linear algebra (~1e-7 in f32); validated against ``model.F`` in
+    tests/test_closed_loop.py.
+    """
+    basis = model.basis
+    W_T = np.asarray(model.W, np.float64).T             # (nzeta, N)
+    nza = basis.nzeta_aug
+    if basis.pcs is not None:
+        P_T = np.asarray(basis.pcs, np.float64).T       # (npcs, N_full)
+        Wp = W_T[:, nza:-1]
+        A1 = W_T[:, :nza] + Wp @ P_T[:, :nza]
+        A2 = Wp @ P_T[:, nza:-1]
+        a0 = W_T[:, -1] + Wp @ P_T[:, -1]
+    else:
+        A1, A2, a0 = W_T[:, :nza], W_T[:, nza:-1], W_T[:, -1]
+    dt = np.asarray(model.W).dtype
+    A1j = jnp.asarray(A1.astype(dt))
+    A2j = jnp.asarray(A2.astype(dt))
+    a0j = jnp.asarray(a0.astype(dt))
+    families = basis.families
+
+    def F_fn(zeta, u):
+        x = jnp.concatenate([zeta, u])
+        parts = [basis._family_feats(kind, deg, x) for kind, deg in families]
+        feats = jnp.concatenate(parts) if parts else jnp.zeros((0,), x.dtype)
+        return A1j @ x + A2j @ feats + a0j
+
+    return F_fn
+
+
 class NonlinearKmpc(_KmpcBase):
     """SQP NMPC on the nonlinear realization (or bilinear-as-NMPC).
 
@@ -518,7 +557,9 @@ class NonlinearKmpc(_KmpcBase):
         if F_fn is not None:
             self.F_fn = F_fn
         elif isinstance(model, NonlinearModel):
-            self.F_fn = lambda zeta, u: model.F(zeta, u)
+            self.F_fn = _compose_nonlinear_F(model) \
+                if (model.basis is not None and model.meta.nw == 0) \
+                else (lambda zeta, u: model.F(zeta, u))
         elif isinstance(model, BilinearModel):
             # bilinear-as-NMPC: F = C (A g(zeta) + Beta(g(zeta)) u)  (Kmpc.m:93)
             basis = model.basis
@@ -531,6 +572,15 @@ class NonlinearKmpc(_KmpcBase):
         else:
             raise TypeError("NonlinearKmpc needs a NonlinearModel or BilinearModel")
         self.nz = self.meta.nzeta
+        # static placement matrices for the condensation scan: Emb[k] puts an
+        # (nz, m) block at columns [k m, (k+1) m).  B_k @ Emb[k] replaces a
+        # dynamic_update_slice -- dynamic slices inside the vmapped scan
+        # measured 4x the whole condense cost on TPU (scripts/
+        # nmpc_condense_bench.py: 5.6 -> 1.3 ms at B=2048).
+        Emb = np.zeros((self.Np, self.m, self.Np * self.m), np.float32)
+        for k in range(self.Np):
+            Emb[k, :, k * self.m:(k + 1) * self.m] = np.eye(self.m)
+        self._Emb = jnp.asarray(Emb)
         # projection acts on the first n state dims (Kmpc.m:924)
         self.Cz = jnp.asarray(self.projmtx[:, : self.n])
         E, cE = state_constraint_rows(cfg, self.n, self.n, self.Np, scaler)
@@ -563,18 +613,15 @@ class NonlinearKmpc(_KmpcBase):
 
         def fwd(carry, inp):
             Sk, sk = carry                     # zeta_k = sk + Sk @ vec(U)
-            Ak, Bk, ck, k = inp
-            S1 = Ak @ Sk
-            blk = jax.lax.dynamic_slice(S1, (0, k * m), (nz, m))
-            S1 = jax.lax.dynamic_update_slice(S1, blk + Bk, (0, k * m))
+            Ak, Bk, ck, Ek = inp
+            S1 = Ak @ Sk + Bk @ Ek             # static one-hot placement
             s1 = Ak @ sk + ck
             return (S1, s1), (S1, s1)
 
         S0 = jnp.zeros((nz, Np * m), Zl.dtype)
         s0 = zeta0
-        ks = jnp.arange(Np)
         (_, _), (Ss, ss) = jax.lax.scan(
-            fwd, (S0, s0), (jac_z, jac_u, cv, ks))
+            fwd, (S0, s0), (jac_z, jac_u, cv, self._Emb), unroll=Np)
         Sz = jnp.concatenate([S0[None], Ss], axis=0)      # (Np+1, nz, Np m)
         sz = jnp.concatenate([s0[None], ss], axis=0)      # (Np+1, nz)
         return Sz, sz
@@ -621,6 +668,10 @@ class NonlinearKmpc(_KmpcBase):
                 Zl = jnp.tile(zeta[None, :], (Np, 1))
         U, ok = None, None
         best_U, best_cost, best_ok = None, None, None
+        lam_carry = None          # dual warm start across SQP passes: the
+        # relinearized QP's active set is near the previous pass's, so its
+        # (sqrt-damped, see ops.qp) multipliers are a better start than the
+        # cold lam = 1 -- same pattern as the bilinear iters>1 loop
         for it in range(self.cfg.sqp_iters):
             Sz, sz = self._condense(Zl, Ul, zeta)
             # predicted tracked outputs: y_k = Cz zeta_k[:n]
@@ -647,7 +698,7 @@ class NonlinearKmpc(_KmpcBase):
                 sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
                                x0=Ul[1:].reshape(-1), shared_A=False,
                                backend=self.cfg.qp_backend,
-                               band_offset=self._band)
+                               band_offset=self._band, lam0=lam_carry)
             else:
                 # factored form: the reduced Hessian is
                 # 2 ([sqrt(Q) Sy_z; sqrt(rho) I]^T [..] + diag(Rd[m:])) and
@@ -668,8 +719,10 @@ class NonlinearKmpc(_KmpcBase):
                 sol = solve_qp_factored(
                     Wls, vls, self.Rd[m:], Az, bz,
                     iters=self.cfg.qp_iters, x0=Ul[1:].reshape(-1),
-                    backend=self.cfg.qp_backend, band_offset=self._band)
+                    backend=self.cfg.qp_backend, band_offset=self._band,
+                    lam0=lam_carry)
             U_qp, ok = self._assemble_U(u_prev, sol.x), sol.ok
+            lam_carry = sol.lam
             U = self._line_search(zeta, Ul, U_qp, ref)
             if self.cfg.sqp_best_of_passes:
                 # keep the best iterate by TRUE rollout merit across passes:
