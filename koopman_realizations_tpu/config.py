@@ -98,6 +98,14 @@ class MpcConfig:
                                          # start -- leave off unless
                                          # validated on your workload
     sqp_iters: int = 5                   # SQP relinearization passes (NMPC)
+    sqp_dual_warm: bool = False          # carry each SQP pass's QP
+                                         # multipliers into the next pass's
+                                         # relinearized QP (damped, see
+                                         # ops.qp lam0).  Off by default:
+                                         # measured on the blockM batch it
+                                         # speeds convergence on easy lanes
+                                         # but can mislead hard transients
+                                         # (validate on your workload)
     sqp_damping: float = 0.05            # Levenberg damping on the SQP step
                                          # (tames transient input saturation)
     sqp_linesearch: int = 0              # merit line-search halvings per SQP

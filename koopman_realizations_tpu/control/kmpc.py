@@ -722,7 +722,8 @@ class NonlinearKmpc(_KmpcBase):
                     backend=self.cfg.qp_backend, band_offset=self._band,
                     lam0=lam_carry)
             U_qp, ok = self._assemble_U(u_prev, sol.x), sol.ok
-            lam_carry = sol.lam
+            if self.cfg.sqp_dual_warm:
+                lam_carry = sol.lam
             U = self._line_search(zeta, Ul, U_qp, ref)
             if self.cfg.sqp_best_of_passes:
                 # keep the best iterate by TRUE rollout merit across passes:

@@ -56,9 +56,11 @@ def main():
     X0[:, 0] = np.linspace(-0.2, 0.2, B)
     W = np.zeros((B, 2), np.float32)
 
-    configs = [(5, 8), (5, 5), (4, 8), (4, 5), (3, 8), (3, 5), (3, 4), (2, 8)]
-    for sqp, qp in configs:
-        cfg = dataclasses.replace(base, sqp_iters=sqp, qp_iters=qp)
+    configs = [(5, 8, False), (5, 8, True), (4, 8, False), (3, 8, False),
+               (5, 5, False), (6, 8, False)]
+    for sqp, qp, dw in configs:
+        cfg = dataclasses.replace(base, sqp_iters=sqp, qp_iters=qp,
+                                  sqp_dual_warm=dw)
         sim = Ksim(arm, make_kmpc(ks.model, ks.scaler, cfg))
         runner = sim.batched_runner(ref["y"], steps=steps,
                                     record=("Y", "R", "alive"))
@@ -71,7 +73,7 @@ def main():
         alive = float(np.asarray(o["alive"])[:, -1].mean())
         Y, R = np.asarray(o["Y"]), np.asarray(o["R"])
         err = np.sqrt(((R - Y[..., 4:6]) ** 2).sum(-1))
-        print(f"sqp={sqp} qp={qp}: {B*(steps-1)/dt:9.0f} steps/s  "
+        print(f"sqp={sqp} qp={qp} dw={int(dw)}: {B*(steps-1)/dt:9.0f} steps/s  "
               f"alive={alive:.4f}  err_mean={err.mean():.4f}  "
               f"worst_lane={err.mean(1).max():.4f}", flush=True)
 

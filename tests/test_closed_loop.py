@@ -153,7 +153,8 @@ def test_nmpc_solver_knobs(arm_dataset, blockM):
                dict(sqp_multistart=True),
                dict(sqp_best_of_passes=True),
                dict(sqp_update="linear"),
-               dict(sqp_init="rollout")):
+               dict(sqp_init="rollout"),
+               dict(sqp_dual_warm=True)):
         mpc = make_kmpc(ks.model, ks.scaler, dataclasses.replace(base, **kw))
         U, ok = mpc.solve(zeta, u_prev, refhor, U_init=U_init)
         assert bool(ok), kw
