@@ -82,7 +82,7 @@ class Ksim:
         self.win = self.nd + 1
         if observer is not None:
             self.win = max(self.win, mpc.cfg.load_obs_horizon + 1)
-        self._runner_cache = {}      # (ref id, steps) -> jitted batch runner
+        self._runner_cache = {}      # (ref bytes, steps, ...) -> jitted runner
         # receding-horizon dual warm start: the previous step's QP
         # multipliers ride the scan carry (controllers that expose n_con)
         self._dual_warm = bool(getattr(mpc.cfg, "qp_dual_warm", False)) \
