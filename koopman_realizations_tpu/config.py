@@ -128,6 +128,14 @@ class MpcConfig:
     sqp_best_of_passes: bool = False     # return the SQP iterate with the
                                          # lowest TRUE rollout merit across
                                          # passes (adaptive early stopping)
+    sqp_jac_period: int = 1              # recompute the SQP Jacobians every
+                                         # this many passes (1 = every pass,
+                                         # exact Gauss-Newton).  Stale passes
+                                         # reuse the frozen linearization's
+                                         # sensitivity Sz and only refresh
+                                         # the affine defect term -- a chord
+                                         # Gauss-Newton that skips the
+                                         # dominant jacfwd + S-scan cost
     bilinear_iters: int = 1              # QP<->rollout passes (Ksim.m:210 uses 1)
     dtype: str = "float32"
 

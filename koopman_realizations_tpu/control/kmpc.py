@@ -591,7 +591,7 @@ class NonlinearKmpc(_KmpcBase):
         self.Qd = jnp.asarray(self.q_diag)
         self.Rd = jnp.asarray(self.r_diag)
 
-    def _condense(self, Zl, Ul, zeta0):
+    def _condense(self, Zl, Ul, zeta0, frozen=None, return_jacs=False):
         """Linearize dynamics along (Zl, Ul) and condense to U-only form.
 
         Returns (Sz [stacked zeta wrt U], s0 [affine part]) with
@@ -599,9 +599,21 @@ class NonlinearKmpc(_KmpcBase):
         it only builds the SQP linearization (~1e-6 of f32), and the
         closed-loop step otherwise pins HIGHEST, which doubles the cost of
         every small matmul in the Jacobian/propagation chain.
+
+        With ``frozen = (jac_z, jac_u, Sz)`` from an earlier refresh pass,
+        the Jacobians (and hence the sensitivity stack Sz) are reused and
+        only the affine defect term is re-propagated along the NEW (Zl, Ul)
+        -- the chord Gauss-Newton used for stale ``sqp_jac_period`` passes.
+        With ``return_jacs`` the (jac_z, jac_u) pair is appended to the
+        return for caching.
         """
         with jax.default_matmul_precision("high"):
-            return self._condense_inner(Zl, Ul, zeta0)
+            if frozen is not None:
+                return self._condense_stale(Zl, Ul, zeta0, frozen)
+            Sz, sz, jacs = self._condense_inner(Zl, Ul, zeta0)
+            if return_jacs:
+                return Sz, sz, jacs
+            return Sz, sz
 
     def _condense_inner(self, Zl, Ul, zeta0):
         Np, nz, m = self.Np, self.nz, self.m
@@ -624,6 +636,30 @@ class NonlinearKmpc(_KmpcBase):
             fwd, (S0, s0), (jac_z, jac_u, cv, self._Emb), unroll=Np)
         Sz = jnp.concatenate([S0[None], Ss], axis=0)      # (Np+1, nz, Np m)
         sz = jnp.concatenate([s0[None], ss], axis=0)      # (Np+1, nz)
+        return Sz, sz, (jac_z, jac_u)
+
+    def _condense_stale(self, Zl, Ul, zeta0, frozen):
+        """Affine-only re-condensation about frozen Jacobians.
+
+        The first-order model is F(z, u) ~= F(Zl_k, Ul_k)
+        + A_k (z - Zl_k) + B_k (u - Ul_k) with A/B from the refresh pass:
+        the defect Fv is exact at the new linearization point, only the
+        sensitivities are stale.  Skips both jacfwd sweeps and the full
+        (nz, Np m) S-scan -- just one F eval per stage plus an (nz,)-vector
+        recursion.
+        """
+        jac_z, jac_u, Sz = frozen
+        Fv = jax.vmap(self.F_fn)(Zl, Ul)                              # (Np,nz)
+        cv = Fv - jnp.einsum("kij,kj->ki", jac_z, Zl) \
+                - jnp.einsum("kij,kj->ki", jac_u, Ul)
+
+        def fwd(sk, inp):
+            Ak, ck = inp
+            s1 = Ak @ sk + ck
+            return s1, s1
+
+        _, ss = jax.lax.scan(fwd, zeta0, (jac_z, cv), unroll=self.Np)
+        sz = jnp.concatenate([zeta0[None], ss], axis=0)   # (Np+1, nz)
         return Sz, sz
 
     def solve(self, zeta, u_prev, refhor, U_init=None):
@@ -672,8 +708,14 @@ class NonlinearKmpc(_KmpcBase):
         # relinearized QP's active set is near the previous pass's, so its
         # (sqrt-damped, see ops.qp) multipliers are a better start than the
         # cold lam = 1 -- same pattern as the bilinear iters>1 loop
+        jac_period = max(1, int(self.cfg.sqp_jac_period))
+        frozen = None
         for it in range(self.cfg.sqp_iters):
-            Sz, sz = self._condense(Zl, Ul, zeta)
+            if it % jac_period == 0:
+                Sz, sz, jacs = self._condense(Zl, Ul, zeta, return_jacs=True)
+                frozen = (jacs[0], jacs[1], Sz)
+            else:
+                Sz, sz = self._condense(Zl, Ul, zeta, frozen=frozen)
             # predicted tracked outputs: y_k = Cz zeta_k[:n]
             Sy = jnp.einsum("pi,kij->kpj", self.Cz, Sz[:, : n, :]) \
                 .reshape((Np + 1) * self.nproj, Np * m)

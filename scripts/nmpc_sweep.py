@@ -56,11 +56,15 @@ def main():
     X0[:, 0] = np.linspace(-0.2, 0.2, B)
     W = np.zeros((B, 2), np.float32)
 
-    configs = [(5, 8, False), (5, 8, True), (4, 8, False), (3, 8, False),
-               (5, 5, False), (6, 8, False)]
-    for sqp, qp, dw in configs:
+    configs = [(5, 8, False, 1), (5, 8, False, 2), (5, 8, False, 3),
+               (5, 8, False, 5), (6, 8, False, 2), (4, 8, False, 2)]
+    import json
+    cfg_env = os.environ.get("NMPC_SWEEP_CONFIGS")
+    if cfg_env:
+        configs = [tuple(c) for c in json.loads(cfg_env)]
+    for sqp, qp, dw, jp in configs:
         cfg = dataclasses.replace(base, sqp_iters=sqp, qp_iters=qp,
-                                  sqp_dual_warm=dw)
+                                  sqp_dual_warm=dw, sqp_jac_period=jp)
         sim = Ksim(arm, make_kmpc(ks.model, ks.scaler, cfg))
         runner = sim.batched_runner(ref["y"], steps=steps,
                                     record=("Y", "R", "alive"))
@@ -73,7 +77,8 @@ def main():
         alive = float(np.asarray(o["alive"])[:, -1].mean())
         Y, R = np.asarray(o["Y"]), np.asarray(o["R"])
         err = np.sqrt(((R - Y[..., 4:6]) ** 2).sum(-1))
-        print(f"sqp={sqp} qp={qp} dw={int(dw)}: {B*(steps-1)/dt:9.0f} steps/s  "
+        print(f"sqp={sqp} qp={qp} dw={int(dw)} jp={jp}: "
+              f"{B*(steps-1)/dt:9.0f} steps/s  "
               f"alive={alive:.4f}  err_mean={err.mean():.4f}  "
               f"worst_lane={err.mean(1).max():.4f}", flush=True)
 

@@ -154,13 +154,37 @@ def test_nmpc_solver_knobs(arm_dataset, blockM):
                dict(sqp_best_of_passes=True),
                dict(sqp_update="linear"),
                dict(sqp_init="rollout"),
-               dict(sqp_dual_warm=True)):
+               dict(sqp_dual_warm=True),
+               dict(sqp_jac_period=2),
+               dict(sqp_jac_period=5)):
         mpc = make_kmpc(ks.model, ks.scaler, dataclasses.replace(base, **kw))
         U, ok = mpc.solve(zeta, u_prev, refhor, U_init=U_init)
         assert bool(ok), kw
         U = np.asarray(U)
         assert np.isfinite(U).all(), kw
         assert np.abs(U[1:]).max() <= lim + 1e-5, kw
+
+
+def test_stale_condense_identity(arm_dataset, blockM):
+    """The chord (frozen-Jacobian) condensation must reproduce the exact
+    one when the linearization point has not moved: same (Zl, Ul) with
+    frozen=(jac_z, jac_u, Sz) is an identity, so stale ``sqp_jac_period``
+    passes differ from exact Gauss-Newton only through Jacobian staleness,
+    never through the affine propagation."""
+    import jax.numpy as jnp
+
+    ks = train(arm_dataset, "nonlinear")
+    mpc = make_kmpc(ks.model, ks.scaler, example_control_cfg())
+    rng = np.random.default_rng(0)
+    dt = np.asarray(ks.model.W).dtype
+    Zl = jnp.asarray(rng.normal(size=(mpc.Np, mpc.nz)).astype(dt) * 0.1)
+    Ul = jnp.asarray(rng.normal(size=(mpc.Np, mpc.m)).astype(dt) * 0.1)
+    zeta0 = Zl[0]
+    Sz, sz, jacs = mpc._condense(Zl, Ul, zeta0, return_jacs=True)
+    Sz2, sz2 = mpc._condense(Zl, Ul, zeta0, frozen=(jacs[0], jacs[1], Sz))
+    np.testing.assert_allclose(np.asarray(sz2), np.asarray(sz),
+                               rtol=0, atol=1e-5)
+    assert Sz2 is Sz
 
 
 def test_timed_mode_matches_fused(arm_dataset, blockM):
