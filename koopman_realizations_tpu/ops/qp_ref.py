@@ -23,9 +23,14 @@ _lib = None
 
 
 def _build() -> None:
+    # build to a private temp name, then atomically publish: concurrent
+    # processes (pytest-xdist workers) may race to build, and a partially
+    # written .so must never be dlopen-able under the public path
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+        ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
         check=True, capture_output=True)
+    os.replace(tmp, _LIB)
 
 
 def _load():
