@@ -293,6 +293,7 @@ def bilinear_consts(mpc: "BilinearKmpc") -> dict:
         "A": mpc.powers[1],           # (NL, NL) -- for iters>1 re-rolls
         "PA": mpc.PA,                 # (Np+1, p, NL)
         "PAt": mpc.PAt,               # (Np+1, Np, p, NL) Toeplitz-gathered
+        "PG": mpc.PG,                 # ((Np+1) p Np m, NL) fused shared-Beta
         "EA": mpc.EA, "EAt": mpc.EAt,
         "Fj": mpc.Fj, "cFj": mpc.cFj,
         "Qd": mpc.Qd, "Rd": mpc.Rd,
@@ -300,6 +301,7 @@ def bilinear_consts(mpc: "BilinearKmpc") -> dict:
     if mpc._sb_lo is not None:
         c["sb_lo"] = mpc._sb_lo
         c["sb_hi"] = mpc._sb_hi
+        c["EG"] = mpc.EG
     return c
 
 
@@ -322,18 +324,15 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
     ref = _pad_ref(refhor, Np, nproj)
     Yr = ref.reshape(-1)
 
-    def block_toeplitz(powers_toep, Beta_j, shared: bool):
+    def block_toeplitz(powers_toep, Beta_j):
         # blocks (i, j) = proj_powers[i-1-j] @ Beta_j[j]; r in {nproj, n}.
         # ``powers_toep`` is the PREgathered, PREmasked constant tensor
         # proj_powers[tidx] * tvalid of shape (Np+1, Np, r, NL) -- runtime
         # per-lane gathers lower badly on TPU (measured ~2x assembly cost).
-        # ``shared`` (the iters=1 / first-pass case, Beta held constant over
-        # the horizon) contracts the single (NL, m) Beta against it.
+        # Only the per-stage-Beta (iters>1 relinearization) case lands
+        # here; the shared-Beta case uses the fused PG/EG constants.
         r = powers_toep.shape[2]
-        if shared:
-            g = jnp.einsum("ijrb,bm->ijrm", powers_toep, Beta_j[0])
-        else:
-            g = jnp.einsum("ijrb,jbm->ijrm", powers_toep, Beta_j)
+        g = jnp.einsum("ijrb,jbm->ijrm", powers_toep, Beta_j)
         return g.transpose(0, 2, 1, 3).reshape((Np + 1) * r, Np * m)
 
     def qp_data(zhor, shared: bool):
@@ -347,10 +346,13 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
 
     def _qp_data_inner(zhor, shared: bool):
         if shared:
-            Beta_j = jnp.einsum("kmj,j->km", c["Bm"], zhor[0])[None]  # (1, NL, m)
+            # fused path: one lane-shared GEMM (see BilinearKmpc.PG); the
+            # staged form below is the same contraction reassociated
+            Beta_j = None
+            CB = (c["PG"] @ zhor[0]).reshape((Np + 1) * nproj, Np * m)
         else:
             Beta_j = jnp.einsum("kmj,pj->pkm", c["Bm"], zhor)  # (Np, NL, m)
-        CB = block_toeplitz(c["PAt"], Beta_j, shared)
+            CB = block_toeplitz(c["PAt"], Beta_j)
         CAz = (c["PA"] @ z).reshape(-1)
         if not has_sb:
             # factored objective: the reduced-QP Hessian/gradient are
@@ -367,7 +369,10 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
         f = 2.0 * CB.T @ (c["Qd"] * (CAz - Yr))
         # k = 2..Np blocks only; k=0 is the fixed state and z_1 depends
         # only on the pinned u_0 (see state_constraint_rows)
-        EW = block_toeplitz(c["EAt"], Beta_j, shared)[2 * n:]
+        if shared:
+            EW = (c["EG"] @ zhor[0]).reshape((Np + 1) * n, Np * m)[2 * n:]
+        else:
+            EW = block_toeplitz(c["EAt"], Beta_j)[2 * n:]
         zn = (c["EA"] @ z).reshape(-1)[2 * n:]
         L = jnp.concatenate([c["Fj"], -EW, EW], axis=0)
         b = jnp.concatenate([
@@ -466,6 +471,23 @@ class BilinearKmpc(_KmpcBase):
 
         self.PAt = toep(np.asarray(self.PA))
         self.EAt = toep(np.asarray(self.EA))
+        # fused shared-Beta assembly constant: for the iters=1 path (Beta(z)
+        # held constant over the horizon, Ksim.m:210) the two per-lane
+        # contractions  Beta = Bm . z  then  CB = PAt . Beta  compose into
+        # one lane-shared tensor  PG[(i,r,j,m), q] = sum_b PAt[ijrb] Bm[bmq],
+        # so vmapped assembly is a single (B, NL) x (NL, rows) GEMM instead
+        # of two batched-small einsums (the TPU-pathological shape).  f64
+        # precompute, cast to the model dtype.
+        Bm64 = np.asarray(model.B, np.float64)
+        dt = np.asarray(model.A).dtype
+
+        def fuse(toep_t):
+            g = np.einsum("ijrb,bmq->irjmq", np.asarray(toep_t, np.float64),
+                          Bm64)
+            return jnp.asarray(g.reshape(-1, NL).astype(dt))
+
+        self.PG = fuse(self.PAt)
+        self.EG = fuse(self.EAt) if self._sb_lo is not None else None
 
     def consts(self) -> dict:
         return bilinear_consts(self)

@@ -130,6 +130,31 @@ def test_bilinear_state_bounds_and_iters(arm_dataset, blockM):
     assert np.abs(np.asarray(U3)[1:]).max() <= np.abs(lim).max() + 1e-5
 
 
+def test_fused_shared_assembly_matches_staged(arm_dataset):
+    """The fused PG/EG constants must reproduce the staged contraction.
+
+    PG[(i,r,j,m), q] = sum_b PAt[i,j,r,b] Bm[b,m,q], so PG @ z equals the
+    two-stage  Beta = Bm . z  then  CB[i,j,r,m] = PAt . Beta  used by the
+    iters>1 path -- pins the fragile index ordering of the fusion."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    ks = train(arm_dataset, "bilinear")
+    cfg = dataclasses.replace(example_control_cfg(), state_bounds=(-1.5, 1.5))
+    mpc = make_kmpc(ks.model, ks.scaler, cfg)
+    Np, m = mpc.Np, mpc.m
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(mpc.NL,)) * 0.3)
+    Beta = jnp.einsum("kmj,j->km", mpc.model.B, z)
+    for G, T, r in ((mpc.PG, mpc.PAt, mpc.nproj), (mpc.EG, mpc.EAt, mpc.n)):
+        staged = jnp.einsum("ijrb,bm->ijrm", T, Beta) \
+            .transpose(0, 2, 1, 3).reshape((Np + 1) * r, Np * m)
+        fused = (G @ z).reshape((Np + 1) * r, Np * m)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(staged),
+                                   rtol=0, atol=1e-10)
+
+
 def test_nmpc_solver_knobs(arm_dataset, blockM):
     """The optional SQP machinery (line search, damping schedule,
     multistart, best-of-passes, linear update, rollout init) solves finite
