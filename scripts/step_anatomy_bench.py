@@ -98,10 +98,8 @@ def main():
         """Factored qp_data (W, v), mirroring bilinear_solve_pure iters=1."""
         refp = _pad_ref(refhor, Np, nproj)
         Yr = refp.reshape(-1)
-        Beta = jnp.einsum("kmj,j->km", c["Bm"], z1)
-        g = jnp.einsum("ijrb,bm->ijrm", c["PAt"], Beta)
         r = c["PA"].shape[1]
-        CB = g.transpose(0, 2, 1, 3).reshape((Np + 1) * r, Np * m)
+        CB = (c["PG"] @ z1).reshape((Np + 1) * r, Np * m)
         CAz = (c["PA"] @ z1).reshape(-1)
         sq = jnp.sqrt(c["Qd"])
         W = sq[:, None] * CB[:, m:]
