@@ -134,10 +134,13 @@ def _smooth_ts2(cfg: MpcConfig, Ts: float, c_in: np.ndarray, m: int, Np: int):
     if cfg.input_smoothConst is None:
         return c_in
     c = c_in.copy()
-    n_b = 0 if cfg.input_bounds is None else 2 * m * Np
+    # bound rows cover k = 1..Np-1 only (u_0 is pinned/eliminated), so the
+    # smooth block starts after 2m(Np-1) + 2m(Np-1) rows
+    n_b = 0 if cfg.input_bounds is None else 2 * m * (Np - 1)
     n_s = 0 if cfg.input_slopeConst is None else 2 * m * (Np - 1)
     start = n_b + n_s
-    c[start: start + 2 * m * (Np - 2)] *= Ts ** 2
+    assert start + 2 * m * (Np - 2) == c.size, "smooth rows must be last"
+    c[start:] *= Ts ** 2
     return c
 
 

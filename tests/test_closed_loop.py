@@ -99,6 +99,54 @@ def test_input_slope_respected(arm_dataset, blockM):
     assert du_sc.max() <= 2 * lim_sc + 1e-6
 
 
+def test_input_smoothness_respected(arm_dataset, blockM):
+    """Second-difference (smoothness) rows with the reference's Ts^2 factor
+    (``Kmpc.m:280-297``) survive the closed loop: lanes stay alive and the
+    applied-input second differences respect the scaled bound (with the
+    same plan-vs-applied slack as the slope test)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    ks = train(arm_dataset, "bilinear")
+    cfg = dataclasses.replace(example_control_cfg(), input_smoothConst=5e-1)
+    sim = Ksim(shipped_arm(), make_kmpc(ks.model, ks.scaler, cfg))
+    res = sim.run_trial_mpc(blockM["y"], steps=80)
+    assert res["alive"].all()
+    assert np.isfinite(res["err"]).all()
+    # the smoothness rows bound WITHIN-plan second differences (the applied
+    # sequence crosses three different plans, which the reference's rows
+    # never couple): check the plan returned by one mid-trajectory solve
+    mpc = sim.mpc
+    y_sc = np.asarray(sim.scaler.y_down(res["Y"]))
+    z = ks.basis.lift(jnp.asarray(y_sc[30]))
+    u_prev = jnp.asarray(sim.scaler.u_down(res["U"][30]))
+    refhor = jnp.asarray(sim.prep_ref(blockM["y"])[30: 41])
+    U, ok = mpc.solve(z, u_prev, refhor)
+    assert bool(ok)
+    Ts = mpc.meta.Ts
+    lim_sc = 5e-1 * float(np.mean(sim.scaler.u_factor)) * Ts ** 2
+    ddu = np.abs(np.diff(np.asarray(U), n=2, axis=0))
+    assert ddu.max() <= lim_sc + 1e-5
+
+
+def test_delayed_model_closed_loop(arm_dataset, blockM):
+    """A delays=1 bilinear model (zeta = [y_k, y_{k-1}, u_{k-1}]) drives the
+    closed loop through Ksim's trailing window: all lanes alive, finite
+    tracking.  Pins the delay-embedding path end-to-end (the reference
+    supports it via get_zeta, ``Ksysid.m:868-907``)."""
+    cfg_s = SysidConfig(model_type="bilinear", obs_type=("poly",),
+                        obs_degree=(2,), delays=1, dim_red=True)
+    ks = Ksysid(arm_dataset, cfg_s).train_models()
+    sim = Ksim(shipped_arm(), make_kmpc(ks.model, ks.scaler,
+                                        example_control_cfg()))
+    res = sim.run_trial_mpc(blockM["y"], steps=60)
+    assert res["alive"].all()
+    assert np.isfinite(res["err"]).all()
+    # weaker model (poly-2, delayed), transient window: loose sanity bound
+    assert res["err"].mean() <= 0.8
+
+
 def test_bilinear_state_bounds_and_iters(arm_dataset, blockM):
     """Structured state-bound rows + iter-relinearization of BilinearKmpc."""
     ks = train(arm_dataset, "bilinear")
