@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from koopman_realizations_tpu.models.koopman import NonlinearModel
+from koopman_realizations_tpu.control.kmpc import NonlinearKmpc
 from koopman_realizations_tpu.utils.metrics import tracking_error
 
 
@@ -90,10 +90,14 @@ class Ksim:
 
     # ------------------------------------------------------------------
     def _lift_current(self, zeta, what):
-        model = self.mpc.model
-        if isinstance(model, NonlinearModel):
+        # keyed on the CONTROLLER, not the model: NonlinearKmpc's vector
+        # field always consumes the raw zeta (it lifts internally), including
+        # the bilinear-as-NMPC dispatch (mpc_type="nonlinear" on a
+        # BilinearModel, Kmpc.m:93) -- the condensed controllers consume the
+        # lifted state
+        if isinstance(self.mpc, NonlinearKmpc):
             return zeta
-        basis = model.basis
+        basis = self.mpc.model.basis
         if self.meta.nw > 0:
             return basis.lift_loaded(zeta, what)
         return basis.lift(zeta)

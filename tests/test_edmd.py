@@ -61,6 +61,23 @@ def test_snapshot_pairs_drop_trial_boundaries(arm_dataset):
     assert any((y[r + 1] == sp.beta[i]).all() for r in row)
 
 
+def test_snapshot_subsampling(arm_dataset):
+    """``snapshots=N`` subsamples N pairs without replacement
+    (``get_snapshotPairs:973-975``; seeded Generator instead of the
+    reference's mlfg6331_64 stream) and the model still trains."""
+    cfg = SysidConfig(model_type="linear", obs_type=("poly",), obs_degree=(2,),
+                      snapshots=500)
+    ks = Ksysid(arm_dataset, cfg)
+    sp = ks.snapshot_pairs
+    assert sp.alpha.shape[0] == 500
+    # pairs remain true one-step transitions after subsampling
+    y = np.asarray(ks.traindata.y)
+    row = np.where((y == sp.alpha[42]).all(axis=1))[0]
+    assert any((y[r + 1] == sp.beta[42]).all() for r in row)
+    ks.train_models()
+    assert np.all(np.isfinite(np.asarray(ks.model.A)))
+
+
 def test_arm_bilinear_beats_linear(arm_dataset):
     lin = Ksysid(arm_dataset, SysidConfig(model_type="linear",
                                           obs_type=("poly",), obs_degree=(3,),
