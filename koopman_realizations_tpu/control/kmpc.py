@@ -809,8 +809,11 @@ class NonlinearKmpc(_KmpcBase):
                 # infeasible-path update: move Z along the LINEARIZED
                 # dynamics (defects stay open between passes, like
                 # fmincon's sqp iterates on [Z; U]) instead of re-rolling
-                # the nonlinear model through the new inputs
-                Zl = (sz + Sz @ U.reshape(-1))[1:]
+                # the nonlinear model through the new inputs.  Zl keeps the
+                # [z_0 .. z_{Np-1}] convention of every other path
+                # (Zl[0] = zeta exactly), so drop the TERMINAL stage of the
+                # (Np+1)-stacked prediction, not the initial one
+                Zl = (sz + Sz @ U.reshape(-1))[:-1]
             else:
                 # feasible-path update: nonlinear re-rollout
                 def roll(zc, u):

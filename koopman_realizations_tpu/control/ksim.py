@@ -237,7 +237,12 @@ class Ksim:
         carry = (jnp.asarray(x0, dtype), y0j, ywin0, uwin0,
                  jnp.asarray(u0, dtype), what0, jnp.asarray(True), U_plan0)
         if self._dual_warm:
-            # ones == the solver's own cold multiplier start
+            # approximately cold: lam0 is given in ORIGINAL units, so the
+            # solver's row/objective rescaling makes the first solve start
+            # at sqrt-damped sqrt(row/obj) rather than exactly the cold
+            # equilibrated lam = 1 -- the damping clamp keeps it near the
+            # central path, and bench quality (alive 1.0, golden-parity
+            # error) is verified with exactly this start
             carry += (jnp.ones((self.mpc.n_con,), dtype),)
         return carry
 
@@ -282,6 +287,8 @@ class Ksim:
         import time as _time
 
         K = ref.shape[0] if steps is None else steps
+        if K < 2:
+            raise ValueError(f"timed run needs >= 2 steps, got {K}")
         body = jax.jit(self.make_body(self.prep_ref(ref)))
         carry = self.init_carry(x0, u0)
         w_seq = np.asarray(self._w_seq(load, K)[:-1])

@@ -96,6 +96,7 @@ def solve_qp(P, q, A, b, iters: int = 25, x0=None,
     """
     with jax.default_matmul_precision("highest"):
         use_pallas = (shared_A and backend != "jax"
+                      and jnp.asarray(b).shape[-1] > 0
                       and jnp.asarray(P).dtype == jnp.float32
                       and jax.default_backend() in ("tpu", "axon"))
         if use_pallas:
@@ -140,6 +141,7 @@ def solve_qp_factored(W, v, r_diag, A, b, iters: int = 25, x0=None,
     """
     with jax.default_matmul_precision("highest"):
         use_pallas = (backend != "jax"
+                      and jnp.asarray(b).shape[-1] > 0
                       and jnp.asarray(W).dtype == jnp.float32
                       and jax.default_backend() in ("tpu", "axon"))
         if use_pallas:

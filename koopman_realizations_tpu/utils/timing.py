@@ -71,7 +71,10 @@ def phase_breakdown(sim, ref, B: int = 4096, steps: int = 12,
     what = pick("what")
     X = pick("X")
     U = pick("U")                      # unscaled applied input (next u_prev)
-    refhor = jnp.asarray(sim.prep_ref(ref)[steps - 1: steps + mpc.Np])
+    # stacked outputs have steps-1 entries; entry i was produced at the
+    # body's 1-based step k = i+1, whose horizon starts at ref row k-1 = i
+    i_rec = record_step % (steps - 1)
+    refhor = jnp.asarray(sim.prep_ref(ref)[i_rec: i_rec + mpc.Np + 1])
 
     lift_fn = sim._lift_current
     phases = {
@@ -112,10 +115,13 @@ def phase_breakdown(sim, ref, B: int = 4096, steps: int = 12,
             return tot
 
         prog = jax.jit(chained)
-        jax.block_until_ready(prog(*a))            # compile + warm
+        float(prog(*a))                            # compile + warm
+        # HOST FETCH, not block_until_ready: BUR does not reliably sync
+        # Pallas-containing programs over the axon tunnel (CLAUDE.md timing
+        # trap) -- only fetching the scalar forces completion
         t0 = time.perf_counter()
         for _ in range(reps):
-            jax.block_until_ready(prog(*a))
+            float(prog(*a))
         return (time.perf_counter() - t0) / reps / n_inner
 
     times = {name: clock(fn, args[name]) for name, fn in phases.items()}

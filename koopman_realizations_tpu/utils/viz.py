@@ -107,14 +107,7 @@ def animate_arm(arm, alpha_traj, path: str, ref_xy=None, y_xy=None,
 
     ani = animation.FuncAnimation(fig, draw, frames=len(alpha_traj),
                                   blit=True)
-    try:
-        ani.save(path, writer="ffmpeg", fps=fps)
-    except Exception:
-        if not path.endswith(".gif"):
-            path = path.rsplit(".", 1)[0] + ".gif"
-        ani.save(path, writer="pillow", fps=fps)
-    plt.close(fig)
-    return path
+    return _save_anim(ani, fig, path, fps)
 
 
 def _save_anim(ani, fig, path, fps):

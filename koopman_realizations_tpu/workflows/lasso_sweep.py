@@ -37,8 +37,16 @@ def lasso_sweep_closed_loop(ksysid, plant, mpc_cfg: MpcConfig, ref,
     assert all(isinstance(cd, BilinearModel) for cd in cands), \
         "lasso_sweep_closed_loop currently supports bilinear candidates"
     mpcs = [BilinearKmpc(cd, ksysid.scaler, mpc_cfg) for cd in cands]
-    consts = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                    *[bilinear_consts(m) for m in mpcs])
+    # candidate-INVARIANT consts (constraint rows, cost diagonals, state
+    # bounds -- functions of cfg/scaler/dims only) stay unstacked: batching
+    # them would make A/r_diag batched under vmap and knock every sweep QP
+    # off the Pallas shared-A route into the per-lane fallback
+    all_consts = [bilinear_consts(m) for m in mpcs]
+    SHARED = ("Fj", "cFj", "Qd", "Rd", "sb_lo", "sb_hi")
+    shared_consts = {k: all_consts[0][k] for k in SHARED if k in all_consts[0]}
+    per_cand = [{k: v for k, v in c.items() if k not in SHARED}
+                for c in all_consts]
+    consts = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_cand)
 
     mpc0 = mpcs[0]
     Np, m, nproj = mpc0.Np, mpc0.m, mpc0.nproj
@@ -57,7 +65,9 @@ def lasso_sweep_closed_loop(ksysid, plant, mpc_cfg: MpcConfig, ref,
     y0 = plant.get_y(x0)
     u0 = jnp.zeros((m,), dtype)
 
-    def one(c):
+    def one(c_var):
+        c = {**c_var, **shared_consts}
+
         def body(carry, k):
             x, y_sc, u_prev, U_plan, alive = carry
             with jax.default_matmul_precision("highest"):

@@ -65,6 +65,36 @@ def test_unconstrained_interior():
     np.testing.assert_allclose(np.asarray(sol.x), [1.0, 1.0], atol=1e-7)
 
 
+def test_zero_constraint_rows():
+    """mc == 0 (all MpcConfig constraints None) solves P x = -q directly;
+    vmapped lanes must not route to the Pallas kernel (its reductions are
+    over zero rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from koopman_realizations_tpu.ops.qp import solve_qp_factored
+
+    P = np.diag([2.0, 4.0])
+    q = np.array([-2.0, -4.0])
+    A = np.zeros((0, 2))
+    b = np.zeros((0,))
+    sol = solve_qp(P, q, A, b)
+    assert bool(sol.ok)
+    np.testing.assert_allclose(np.asarray(sol.x), [1.0, 1.0], atol=1e-6)
+    # factored form, vmapped over lanes (the closed-loop shape):
+    # P = 2 W^T W = diag(2, 4), q = 2 W^T v = (-2, -4) -> x* = (1, 1)
+    W = jnp.asarray(np.tile(np.diag([1.0, np.sqrt(2.0)]), (8, 1, 1)),
+                    jnp.float32)
+    v = jnp.asarray(np.tile([-1.0, -np.sqrt(2.0)], (8, 1)), jnp.float32)
+    r = jnp.zeros((2,), jnp.float32)
+    out = jax.vmap(lambda Wi, vi: solve_qp_factored(
+        Wi, vi, r, jnp.zeros((0, 2), jnp.float32),
+        jnp.zeros((0,), jnp.float32)))(W, v)
+    assert bool(out.ok.all())
+    np.testing.assert_allclose(np.asarray(out.x),
+                               np.tile([1.0, 1.0], (8, 1)), atol=1e-4)
+
+
 def test_active_box_constraint():
     P = np.eye(2)
     q = np.array([-10.0, 0.0])
