@@ -269,6 +269,11 @@ class Arm:
         """Degree-3 shape polynomial coefficients (``Arm.points2poly:314-361``)."""
         markers = self.get_markers(alpha)
         theta = self.alpha2theta(alpha)
+        # reference quirk reproduced: theta2complex returns [sin, cos]
+        # (``Arm.m:87-94``) although the link tangent used by the forward
+        # kinematics is [-sin, cos] -- the end-tangent support point is
+        # mirrored about the vertical for a bent final link, exactly as in
+        # the shipped shape-sensing data
         orient = jnp.stack([jnp.sin(theta[-1]), jnp.cos(theta[-1])])
         endpoint = orient * 1e-2 + markers[-1]
         startpoint = jnp.asarray([0.0, 1e-2], alpha.dtype)

@@ -36,7 +36,7 @@ from koopman_realizations_tpu.models.koopman import (
     rollout,
 )
 from koopman_realizations_tpu.ops import lstsq as lstsq_ops
-from koopman_realizations_tpu.ops.lasso import lasso_constrained_lstsq
+from koopman_realizations_tpu.ops.lasso import lasso_constrained_lstsq_f64
 from koopman_realizations_tpu.ops.linalg import logm_host, pcs_for_explained
 from koopman_realizations_tpu.ops.observables import KoopmanBasis, build_basis, delay_embed
 from koopman_realizations_tpu.ops.scaling import Scaler, fit_scaler
@@ -168,7 +168,13 @@ class Ksysid:
         - linear:    [psi(zeta), u]        (N*(nw+1)+m columns)
         - nonlinear: psi([zeta, u])        (N*(nw+1) columns)
         - bilinear:  psi_input(zeta, u)    (N*(nw+1)*(m+1) columns)
+
+        Memoized: the pairs and basis are fixed after __init__, and the
+        lift is the dominant training cost -- a lasso sweep would otherwise
+        re-lift the whole corpus once per candidate.
         """
+        if getattr(self, "_lift_cache", None) is not None:
+            return self._lift_cache
         sp = self.snapshot_pairs
         b = self.basis
         mt = self.cfg.model_type
@@ -179,8 +185,9 @@ class Ksysid:
             u = jnp.asarray(np.asarray(sp.u, self.dtype))
             w = None if sp.w is None else \
                 jnp.asarray(np.asarray(sp.w, self.dtype))
-            return self._lift_snapshot_matrices_inner(alpha, beta, u, w, b,
-                                                      mt)
+            self._lift_cache = self._lift_snapshot_matrices_inner(
+                alpha, beta, u, w, b, mt)
+            return self._lift_cache
 
     def _lift_snapshot_matrices_inner(self, alpha, beta, u, w, b, mt):
 
@@ -258,8 +265,11 @@ class Ksysid:
         else:
             t = lasso * self.N              # budget scaling (Ksysid.m:994-999)
             pin = self._delay_pin_mask(Px.shape[1])
-            K = lasso_constrained_lstsq(Px, Py, t, pin_mask=pin,
-                                        iters=self.cfg.lasso_iters)
+            # host float64 regardless of the x64 flag: f32 regression
+            # visibly degrades models (same rule as _lstsq64)
+            K = jnp.asarray(lasso_constrained_lstsq_f64(
+                Px, Py, t, pin_mask=pin,
+                iters=self.cfg.lasso_iters), self.dtype)
         NLdim = self.N * (self.nw + 1)
         return {"K": K, "Px": Px[:, :NLdim], "Py": Py[:, :NLdim],
                 "u": jnp.asarray(self.snapshot_pairs.u, self.dtype),

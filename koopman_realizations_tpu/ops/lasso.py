@@ -86,3 +86,63 @@ def lasso_constrained_lstsq(Px, Py, t, pin_mask=None, pin_value=1.0,
     (K, _, _), _ = jax.lax.scan(body, (K0, K0, jnp.asarray(1.0, G.dtype)), None,
                                 length=iters)
     return K
+
+
+def lasso_constrained_lstsq_f64(Px, Py, t, pin_mask=None, pin_value=1.0,
+                                iters: int = 2000):
+    """Host numpy float64 mirror of ``lasso_constrained_lstsq``.
+
+    The Koopman regression must run in float64 (f32 visibly degrades
+    models); with x64 off -- the default TPU session -- the JAX FISTA above
+    silently runs f32, so Ksysid routes through this host implementation,
+    exactly like ``Ksysid._lstsq64`` does for the plain least squares.
+    Same algorithm step for step; parity-tested against the JAX version
+    under the x64 test env.
+    """
+    import numpy as np
+
+    def proj_ball(v, tt):
+        av = np.abs(v)
+        if av.sum() <= tt:
+            return v
+        u = np.sort(av)[::-1]
+        css = np.cumsum(u)
+        k = np.arange(1, v.shape[0] + 1, dtype=v.dtype)
+        cond = u * k > (css - tt)
+        rho = np.max(np.where(cond, np.arange(v.shape[0]), -1))
+        theta = (css[rho] - tt) / (rho + 1.0)
+        return np.sign(v) * np.maximum(av - theta, 0.0)
+
+    Px = np.asarray(Px, np.float64)
+    Py = np.asarray(Py, np.float64)
+    G = Px.T @ Px
+    H = Px.T @ Py
+    nm = G.shape[0]
+    v = np.ones((nm,)) / np.sqrt(nm)
+    for _ in range(30):
+        v = G @ v
+        v = v / np.linalg.norm(v)
+    L = 2.0 * max(float(v @ (G @ v)), 1e-12)
+
+    if pin_mask is not None:
+        pin_mask = np.asarray(pin_mask)
+        budget = float(t) - pin_value * float(pin_mask.sum())
+    else:
+        budget = float(t)
+
+    def proj(K):
+        if pin_mask is not None:
+            free = np.where(pin_mask, 0.0, K)
+            free = proj_ball(free.reshape(-1), budget).reshape(K.shape)
+            return np.where(pin_mask, pin_value, free)
+        return proj_ball(K.reshape(-1), float(t)).reshape(K.shape)
+
+    K = proj(np.zeros_like(H))
+    Z, tk = K, 1.0
+    for _ in range(iters):
+        grad = 2.0 * (G @ Z - H)
+        K_new = proj(Z - grad / L)
+        t_new = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * tk ** 2))
+        Z = K_new + ((tk - 1.0) / t_new) * (K_new - K)
+        K, tk = K_new, t_new
+    return K

@@ -4,15 +4,16 @@ The reference leans on MATLAB ``\\`` (``Ksysid.m:1069`` K = Px\\Py and the
 M-projection ``Ksysid.m:1216``) and ``lsqlin`` for constrained problems.
 Here:
 
-- ``lstsq``             : QR-based minimum-residual solve, batched, works in
-                          f64 (CPU parity) and f32 (TPU) with optional
+- ``lstsq``             : SVD min-norm solve (pinv semantics; dictionary
+                          Grams are routinely rank-deficient), works in f64
+                          (CPU parity) and f32 (TPU) with optional
                           iterative refinement.
 - ``gram_lstsq``        : normal-equation solve from accumulated Gram
                           matrices -- the psum-friendly multi-chip path
                           (PxT Px and PxT Py are reduced over the snapshot
                           shard axis with a single collective).
-- ``box_constrained_lstsq`` : small box/inequality-constrained LS solved as a
-                          QP (used by the load observer).
+(Constrained least squares -- the reference's ``lsqlin`` -- is solved by
+the load observer directly through ``ops.qp.solve_qp``.)
 """
 
 from __future__ import annotations

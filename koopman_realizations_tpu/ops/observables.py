@@ -85,17 +85,15 @@ def _hermite_table(max_order: int, z):
     return jnp.stack(rows, axis=0)
 
 
-def _power_table(max_degree: int, z):
-    """z^0..z^max_degree elementwise, shape (max_degree+1,) + z.shape."""
-    rows = [jnp.ones_like(z)]
-    for _ in range(max_degree):
-        rows.append(rows[-1] * z)
-    return jnp.stack(rows, axis=0)
-
-
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class KoopmanBasis:
     """A fully-specified observable dictionary.
+
+    ``eq=False``: a basis rides model pytrees as STATIC aux data
+    (``models.koopman._model_pytree``), where jit cache keys hash and
+    compare it -- the auto-generated field-wise __eq__/__hash__ raise on
+    the numpy tables (pcs, centers).  Identity semantics are correct
+    there: a rebuilt-but-equal basis just retraces.
 
     Host-side container: exponent tables are numpy constants baked into the
     jitted lifting functions (never traced).  ``lift`` and friends operate on

@@ -32,7 +32,9 @@ def _chol_solve_kernel(n: int, M_ref, b_ref, x_ref):
 
     cols = []
     for j in range(n):
-        d = jax.lax.rsqrt(M[j, j, :])              # (TILE,)
+        # exact sqrt + divide, NOT lax.rsqrt: the approximate rsqrt
+        # destabilizes isolated closed-loop lanes (same rule as qp_ipm)
+        d = 1.0 / jnp.sqrt(M[j, j, :])             # (TILE,)
         col = M[:, j, :] * d[None, :]              # (n, TILE)
         cols.append(col)
         M = M - col[:, None, :] * col[None, :, :]  # rank-1 downdate

@@ -217,11 +217,13 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
     x0 = x0_ref[...]
     s0 = jnp.maximum(b - _dot(A, x0), jnp.float32(slack_floor))
     if warm_dual:
-        # lam0 arrives in ORIGINAL units right before the outputs; convert
-        # with this lane's scales, then sqrt = geometric damping toward the
-        # cold lam = 1 (matches ops.qp._solve_qp_impl; rationale there).
-        # In factored mode the equilibrated conversion must happen HERE
-        # because obj is only known in-kernel.
+        # unit convention differs by mode: the NON-factored wrapper
+        # pre-applies BOTH row and objective scaling on the host
+        # (lam0_eq = lam0 * row * iobj), so lam_raw arrives fully
+        # equilibrated; the FACTORED wrapper can only row-scale (obj is
+        # known once the Gram forms in-kernel), so the iobj factor is
+        # applied here.  Then sqrt = geometric damping toward the cold
+        # lam = 1 (matches ops.qp._solve_qp_impl; rationale there).
         lam_raw = rest[-5][...] if factored else rest[-4][...]
         if factored:
             lam_raw = lam_raw * iobj[None, :]          # row scaling applied

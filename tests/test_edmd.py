@@ -127,6 +127,23 @@ def test_lasso_budget_respected(rng):
     assert np.abs(K).sum() <= t + 1e-8
 
 
+def test_lasso_f64_mirror_matches_jax(rng):
+    """The host float64 FISTA (used by Ksysid regardless of the x64 flag)
+    must reproduce the JAX implementation step for step (here both run
+    f64 under the test env's x64)."""
+    from koopman_realizations_tpu.ops.lasso import lasso_constrained_lstsq_f64
+
+    A = rng.standard_normal((120, 9))
+    B = rng.standard_normal((120, 9))
+    pin = np.zeros((9, 9), bool)
+    pin[0, 0] = True
+    for t, mask in ((4.0, None), (6.0, pin)):
+        Kj = np.asarray(lasso_constrained_lstsq(A, B, t, pin_mask=mask,
+                                                iters=800))
+        Kn = lasso_constrained_lstsq_f64(A, B, t, pin_mask=mask, iters=800)
+        np.testing.assert_allclose(Kn, Kj, atol=1e-9)
+
+
 def test_delays_pipeline_runs(arm_dataset):
     cfg = SysidConfig(model_type="linear", obs_type=("poly",), obs_degree=(1,),
                       delays=1)

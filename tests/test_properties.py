@@ -83,3 +83,23 @@ def test_bilinear_regression_layout_consistency(arm_dataset):
     row = np.asarray(Px[5])
     np.testing.assert_allclose(row[:N], g0, rtol=1e-12)
     np.testing.assert_allclose(row[N: 2 * N], sp.u[5][0] * g0, rtol=1e-12)
+
+
+def test_rebuilt_model_shares_jit_cache(arm_dataset):
+    """Model pytrees carry meta/basis as STATIC aux; a rebuilt-but-equal
+    model must pass through the same jitted function without raising from
+    aux hashing/equality (KoopmanBasis is eq=False / identity-hashed --
+    regression: the auto-generated dataclass __eq__/__hash__ raised on the
+    numpy PCA tables)."""
+    import jax
+
+    from koopman_realizations_tpu.config import SysidConfig
+    from koopman_realizations_tpu.models.edmd import Ksysid
+
+    cfg = SysidConfig(model_type="linear", obs_type=("poly",),
+                      obs_degree=(2,), dim_red=True, snapshots=400)
+    m1 = Ksysid(arm_dataset, cfg).train_models().model
+    m2 = Ksysid(arm_dataset, cfg).train_models().model
+    f = jax.jit(lambda m: m.A.sum())
+    f(m1)
+    f(m2)       # distinct basis objects: retrace, never raise
