@@ -274,9 +274,13 @@ class LinearKmpc(_KmpcBase):
         P = 2.0 * self.H
         b = self.c - self.Mc @ z
         Pz, fz, Az, bz = self._eliminate_u0(P, f, self.L, b, u_prev)
+        # L (hence the reduced Az) is a static per-model constant even with
+        # state bounds -- only b varies per lane -- so the lane-shared
+        # Pallas route always applies (unlike BilinearKmpc, whose
+        # state-bound rows depend on the per-lane linearization)
         sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
                        x0=self._warm_start(u_prev, U_init),
-                       shared_A=self.cfg.state_bounds is None,
+                       shared_A=True,
                        backend=self.cfg.qp_backend, band_offset=self._band,
                        lam0=lam_init)
         if lam_init is None:
@@ -582,8 +586,14 @@ class NonlinearKmpc(_KmpcBase):
         if F_fn is not None:
             self.F_fn = F_fn
         elif isinstance(model, NonlinearModel):
+            if model.meta.nw > 0:
+                # no reference counterpart (fmincon NMPC is unloaded,
+                # Kmpc.m:1114-1181), and the fallback F(zeta, u, w=None)
+                # would crash in lift_loaded -- reject loudly
+                raise NotImplementedError(
+                    "NMPC on loaded (nw > 0) models is not supported")
             self.F_fn = _compose_nonlinear_F(model) \
-                if (model.basis is not None and model.meta.nw == 0) \
+                if model.basis is not None \
                 else (lambda zeta, u: model.F(zeta, u))
         elif isinstance(model, BilinearModel):
             # bilinear-as-NMPC: F = C (A g(zeta) + Beta(g(zeta)) u)  (Kmpc.m:93)

@@ -83,6 +83,9 @@ class Ksim:
         if observer is not None:
             self.win = max(self.win, mpc.cfg.load_obs_horizon + 1)
         self._runner_cache = {}      # (ref bytes, steps, ...) -> jitted runner
+        # width of the plant's load vector (the arm's is [m_ee, r_offset]);
+        # plants with a different disturbance shape expose cfg.nw_plant
+        self.nw_plant = getattr(plant.cfg, "nw_plant", 2)
         # receding-horizon dual warm start: the previous step's QP
         # multipliers ride the scan carry (controllers that expose n_con)
         self._dual_warm = bool(getattr(mpc.cfg, "qp_dual_warm", False)) \
@@ -141,6 +144,7 @@ class Ksim:
             zeta = jnp.concatenate(parts)
 
             # load estimate (observer wired via self.observer)
+            what_prev = what
             if self.observer is not None:
                 what = self.observer(k, ywin, uwin, what)
 
@@ -187,7 +191,7 @@ class Ksim:
                 "X": lambda: x1,
                 "R": lambda: scaler.ref_up(refhor[0], mpc.proj_idx),
                 "Z": lambda: z,
-                "what": lambda: what,
+                "what": lambda: what1,
                 "alive": lambda: alive,
                 # extra keys for utils.timing.phase_breakdown (not in
                 # RECORD_ALL): the exact inputs the solve phase consumed
@@ -195,8 +199,11 @@ class Ksim:
                 "u_prev_sc": lambda: uwin[-1],
                 "U_plan_in": lambda: U_plan,
             }
+            # the load estimate freezes with the lane like every other
+            # carry element (dead lanes must not keep drifting What records)
+            what1 = keep(what, what_prev)
             out = {name: out_full[name]() for name in record}
-            new_carry = (x1, y1, ywin1, uwin1, u_prev1, what, alive, U_plan1)
+            new_carry = (x1, y1, ywin1, uwin1, u_prev1, what1, alive, U_plan1)
             if dual:
                 new_carry += (keep(lam, lam_plan),)
             return new_carry, out
@@ -248,7 +255,7 @@ class Ksim:
 
     def _w_seq(self, load, K) -> np.ndarray:
         if load is None:
-            return np.zeros((K, 2))
+            return np.zeros((K, self.nw_plant))
         load = np.asarray(load, float)
         return np.tile(load, (K, 1)) if load.ndim == 1 else load[:K]
 
@@ -337,6 +344,22 @@ class Ksim:
             "err": err,
         }
 
+    def lane_init(self, x0, init0=None):
+        """Per-lane scan init: re-seed x, y, AND the measurement window from
+        this lane's actual initial state, so batched lanes are identical to
+        ``run_trial_mpc(x0=...)`` (which seeds ywin through init_carry).
+        Regression: seeding only (x, y) left every lane's first solve --
+        and the first nd delay coordinates -- on the zero state's output."""
+        if init0 is None:
+            init0 = self.init_carry()
+        import jax.numpy as _jnp
+        x0 = _jnp.asarray(x0, init0[0].dtype)
+        y0 = self.plant.get_y(x0).astype(init0[1].dtype)
+        ywin0 = _jnp.tile(
+            self.scaler.y_down(y0)[None].astype(init0[2].dtype),
+            (self.win, 1))
+        return (x0, y0, ywin0) + init0[3:]
+
     # ------------------------------------------------------ batched variant
 
     def batched_runner(self, ref, steps: Optional[int] = None,
@@ -353,11 +376,8 @@ class Ksim:
 
         def one(x0, w):
             w_seq = jnp.tile(w[None, :], (K - 1, 1))
-            x0 = jnp.asarray(x0, init0[0].dtype)
-            # per-lane y seed keeps the carry invariant y == get_y(x)
-            init = (x0, self.plant.get_y(x0).astype(init0[1].dtype)) \
-                + init0[2:]
-            _, out = jax.lax.scan(body, init, (ks, w_seq))
+            _, out = jax.lax.scan(body, self.lane_init(x0, init0),
+                                  (ks, w_seq))
             return out
 
         return jax.jit(jax.vmap(one))
@@ -398,13 +418,12 @@ class Ksim:
         def one(x0, w, refp):
             body = self.make_body(refp, record=("U", "Y", "R", "alive"))
             w_seq = jnp.tile(w[None, :], (K - 1, 1))
-            x0 = jnp.asarray(x0, init0[0].dtype)
-            init = (x0, self.plant.get_y(x0).astype(init0[1].dtype)) \
-                + init0[2:]
-            _, out = jax.lax.scan(body, init, (ks, w_seq))
+            _, out = jax.lax.scan(body, self.lane_init(x0, init0),
+                                  (ks, w_seq))
             return out
 
-        load_b = jnp.zeros((B, 2)) if load is None else jnp.asarray(load)
+        load_b = jnp.zeros((B, self.nw_plant)) if load is None \
+            else jnp.asarray(load)
         out = jax.jit(jax.vmap(one))(jnp.asarray(X0), load_b,
                                      jnp.asarray(refs_padded, init0[0].dtype))
         Y = np.asarray(out["Y"])
@@ -428,7 +447,8 @@ class Ksim:
             fn = self._runner_cache[key] = self.batched_runner(
                 ref, steps, record=record)
         B = np.asarray(X0).shape[0]
-        load_b = jnp.zeros((B, 2)) if load is None else jnp.asarray(load)
+        load_b = jnp.zeros((B, self.nw_plant)) if load is None \
+            else jnp.asarray(load)
         out = fn(jnp.asarray(X0), load_b)
         Y = np.asarray(out["Y"])
         R = np.asarray(out["R"])

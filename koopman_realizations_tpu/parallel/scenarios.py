@@ -36,10 +36,7 @@ def sharded_batch_runner(sim, ref, mesh, steps: Optional[int] = None,
 
     def one(x0, w):
         w_seq = jnp.tile(w[None, :], (K - 1, 1))
-        x0 = jnp.asarray(x0, init0[0].dtype)
-        # per-lane y seed keeps the carry invariant y == get_y(x)
-        init = (x0, sim.plant.get_y(x0).astype(init0[1].dtype)) + init0[2:]
-        _, out = jax.lax.scan(body, init, (ks, w_seq))
+        _, out = jax.lax.scan(body, sim.lane_init(x0, init0), (ks, w_seq))
         return out
 
     local = jax.vmap(one)
@@ -56,7 +53,7 @@ def run_batch_sharded(sim, ref, X0, mesh, load=None,
     B = X0.shape[0]
     X0p, _ = pad_to_multiple(X0, ndev)
     if load is None:
-        Wp = np.zeros((X0p.shape[0], 2))
+        Wp = np.zeros((X0p.shape[0], sim.nw_plant))
     else:
         Wp, _ = pad_to_multiple(np.asarray(load), ndev)
     fn = sharded_batch_runner(sim, ref, mesh, steps)

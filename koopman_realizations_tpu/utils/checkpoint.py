@@ -113,9 +113,11 @@ def export_mat(path: str, model) -> str:
         if hasattr(model, name) and getattr(model, name) is not None:
             out[name] = np.asarray(getattr(model, name))
     if isinstance(model, BilinearModel):
-        # back to the reference's (NL, m*NL) column-block layout
+        # back to the reference's (NL, m*NL) column-block layout: model.B
+        # is (NL, m, NL), so a C-order reshape already emits the m column
+        # blocks in order -- no axis swap is needed
         B = np.asarray(model.B)
-        out["B"] = B.transpose(0, 1, 2).reshape(B.shape[0], -1)
+        out["B"] = B.reshape(B.shape[0], -1)
     elif hasattr(model, "B") and model.B is not None:
         out["B"] = np.asarray(model.B)
     sio.savemat(path, {"model": out})

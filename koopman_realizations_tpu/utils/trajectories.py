@@ -29,8 +29,11 @@ def get_blockM(center, width: float, height: float) -> np.ndarray:
     o[13] = o[12] + [-dw, 0]
     seg(14, 19, [0, -dh])
     o[19] = o[18] + [dw, 0]
-    seg(20, 23, [0, -dh])   # MATLAB runs the 21:23 loop twice; second pass
-    seg(20, 23, [0, -dh])   # overwrites with doubled steps (get_blockM.m:27-33)
+    seg(20, 23, [0, -dh])   # MATLAB runs its 21:23 loop twice
+    seg(20, 23, [0, -dh])   # (get_blockM.m:27-33) -- a NO-OP: o[20] is
+                            # unchanged between passes, so the recurrence
+                            # reproduces identical values (kept for
+                            # line-by-line parity, not because it doubles)
     seg(23, 29, [-dw, 0])
     seg(29, 32, [0, dh])
     o[32] = o[31] + [dw, 0]

@@ -84,7 +84,9 @@ def lasso_sweep_closed_loop(ksysid, plant, mpc_cfg: MpcConfig, ref,
                     backend=mpc_cfg.qp_backend, band=mpc0._band)
                 u_next = scaler.u_up(U[1])
                 x_new = plant.simulate_Ts(x, u_prev, jnp.zeros(2, dtype))
-                alive = alive & ok
+                # same freeze rule as Ksim: a diverging integrator must not
+                # report as an alive candidate with NaN error
+                alive = alive & ok & jnp.all(jnp.isfinite(x_new))
                 keep = lambda a, b: jnp.where(alive, a, b)
                 x1 = keep(x_new, x)
                 y1 = plant.get_y(x1)

@@ -59,7 +59,7 @@ def _poly1d(x, degree):
 
 
 @partial(jax.jit, static_argnames=("degree", "family", "lasso", "lasso_iters"))
-def _fit_and_val(Ytr, Utr, Yval, Uval, scale, degree: int, family: str,
+def _fit_and_val(Ytr, Utr, Yval, Uval, degree: int, family: str,
                  lasso: float = np.inf, lasso_iters: int = 500):
     """Train + validate one (family, degree) config for all systems at once.
 
@@ -94,7 +94,10 @@ def _fit_and_val(Ytr, Utr, Yval, Uval, scale, degree: int, family: str,
         Px = rows(ai, ui)
         Py = rows(bi, ui)
         if family == "nonlinear" and np.isfinite(lasso):
-            N = degree + 1        # reference budget: lasso * params.N
+            # reference budget: lasso * params.N with N the BASIS size --
+            # for the poly-over-[x, u] family that is (d+1)(d+2)/2, not the
+            # scalar-linear d+1 (which under-scaled the L1 ball ~3x at d=4)
+            N = (degree + 1) * (degree + 2) // 2
             K = lasso_constrained_lstsq(Px, Py, lasso * N, iters=lasso_iters)
         else:
             AtA = Px.T @ Px
@@ -193,7 +196,7 @@ def evaluate_rand_models(datasets: List[DataSet],
 
         def run_cfg(degree, family, lasso):
             fn = shard_map(
-                lambda *a: _fit_and_val(*a, scale=None, degree=degree,
+                lambda *a: _fit_and_val(*a, degree=degree,
                                         family=family, lasso=lasso,
                                         lasso_iters=lasso_iters),
                 mesh=mesh, in_specs=(P("data"),) * 4, out_specs=P("data"),
@@ -201,7 +204,7 @@ def evaluate_rand_models(datasets: List[DataSet],
             return np.asarray(fn(*args))[:S]
     else:
         def run_cfg(degree, family, lasso):
-            return np.asarray(_fit_and_val(*args, scale=None, degree=degree,
+            return np.asarray(_fit_and_val(*args, degree=degree,
                                            family=family, lasso=lasso,
                                            lasso_iters=lasso_iters))
 

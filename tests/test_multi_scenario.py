@@ -62,3 +62,29 @@ def test_diverging_lane_freezes_finite(arm_dataset, blockM_ref):
     # frozen lane's error trace stays finite after the freeze point
     e1 = out["err"][1]
     assert np.isfinite(e1[np.asarray(out["alive"][1])]).all()
+
+
+def test_batch_matches_single_with_nonzero_x0(arm_dataset, blockM_ref):
+    """run_batch lanes must reproduce run_trial_mpc(x0=...) exactly for
+    NONZERO initial states (regression: the batched runners re-seeded only
+    (x, y) from each lane's x0 and left the measurement window ywin on the
+    zero state, so every lane's first solve used the wrong current state)."""
+    ks = Ksysid(arm_dataset, SysidConfig(model_type="bilinear",
+                                         obs_type=("poly",), obs_degree=(3,),
+                                         dim_red=True)).train_models()
+    cfg = MpcConfig(horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
+                    input_slopeConst=1e-1, cost_running=10.0,
+                    cost_terminal=100.0,
+                    cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2),
+                    proj_idx=(4, 5))
+    sim = Ksim(Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
+                             output_type="markers", substeps=5)),
+               make_kmpc(ks.model, ks.scaler, cfg))
+    X0 = np.zeros((3, 6))
+    X0[1, 0] = 0.15
+    X0[2, 0] = -0.2
+    out = sim.run_batch(blockM_ref["y"], X0, steps=25)
+    for b in (1, 2):
+        single = sim.run_trial_mpc(blockM_ref["y"], x0=X0[b], steps=25)
+        np.testing.assert_allclose(out["Y"][b], np.asarray(single["Y"]),
+                                   rtol=0, atol=1e-5)

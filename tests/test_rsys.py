@@ -129,7 +129,7 @@ def test_rand_models_matches_production_trainer(shipped_rsys):
 
     for family, degree in (("linear", 3), ("bilinear", 2), ("nonlinear", 2)):
         err_batched = np.asarray(_fit_and_val(
-            *args, scale=None, degree=degree, family=family))
+            *args, degree=degree, family=family))
         err_prod = []
         for ds in datasets:
             ks = Ksysid(ds, SysidConfig(model_type=family, obs_type=("poly",),
