@@ -22,7 +22,7 @@ def _linear_system_dataset(rng, T=300, trials=4):
         y = np.zeros((T, 2))
         u = rng.uniform(-1, 1, (T, 1))
         for k in range(T - 1):
-            y[k + 1] = A @ y[k] + B @ u[k, 0] * np.ones(1) @ np.ones((1,)) if False else A @ y[k] + (B @ u[k])
+            y[k + 1] = A @ y[k] + B @ u[k]
         out.append(Trial(t=np.arange(T) * 0.1, y=y, u=u))
     return DataSet(train=out[:-1], val=out[-1:]), A, B
 

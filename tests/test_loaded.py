@@ -35,7 +35,7 @@ def loaded_setup():
     ks = Ksysid(ds, SysidConfig(model_type="bilinear", obs_type=("poly",),
                                 obs_degree=(2,), loaded=True, dim_red=True)
                 ).train_models()
-    return arm, ks
+    return arm, ks, ds
 
 
 def _mpc_cfg():
@@ -47,7 +47,7 @@ def _mpc_cfg():
 
 
 def test_loaded_model_validates(loaded_setup):
-    arm, ks = loaded_setup
+    arm, ks, _ = loaded_setup
     assert ks.nw == 2
     res = ks.val_model(ks.model, ks.valdata[0])
     # corner-load open-loop rollout: stable and bounded (the controller only
@@ -59,16 +59,8 @@ def test_loaded_model_validates(loaded_setup):
 def test_loaded_linear_model_and_observer(loaded_setup):
     """The loaded LINEAR realization + its observer variant (which pins the
     last load component to zero, ``Kmpc.m:1349``)."""
-    arm, _ = loaded_setup
-    # regenerate the corpus deterministically and train a LINEAR loaded model
-    rng = np.random.default_rng(7)
-    loads = [(a, b) for a in (0.0, 0.33, 0.66, 1.0)
-             for b in (-1.0, -0.33, 0.33, 1.0)]
-    sims = arm.simulate_rampNhold_batch(rng, tf=30.0, Tramp=2.0,
-                                        W=np.asarray(loads))
-    trials = [Trial(t=s["t"], y=s["y"], u=s["u"], x=s["x"], w=s["w"])
-              for s in sims]
-    ds = DataSet(train=trials[:-1], val=trials[-1:], params={"sysName": "t"})
+    arm, _, ds = loaded_setup
+    # same corpus as the fixture, LINEAR loaded model
     ks = Ksysid(ds, SysidConfig(model_type="linear", obs_type=("poly",),
                                 obs_degree=(2,), loaded=True, dim_red=True)
                 ).train_models()
@@ -87,7 +79,7 @@ def test_loaded_linear_model_and_observer(loaded_setup):
 
 
 def test_observer_recovers_load_and_improves_tracking(loaded_setup):
-    arm, ks = loaded_setup
+    arm, ks, _ = loaded_setup
     cfg = _mpc_cfg()
     mpc = make_kmpc(ks.model, ks.scaler, cfg)
 
@@ -121,7 +113,7 @@ def test_observer_slope_constraint(loaded_setup):
     from the previous one (``Kmpc.m:1336-1345``, reference value 0.01)."""
     import dataclasses
 
-    arm, ks = loaded_setup
+    arm, ks, _ = loaded_setup
     slope = 0.05
     cfg = dataclasses.replace(_mpc_cfg(), load_obs_slope=slope)
     mpc = make_kmpc(ks.model, ks.scaler, cfg)

@@ -59,9 +59,11 @@ def test_diverging_lane_freezes_finite(arm_dataset, blockM_ref):
     assert out["alive"][0, -1]            # normal lane unaffected
     assert not out["alive"][1, -1]        # diverging lane frozen
     assert np.isfinite(out["err"][0]).all()
-    # frozen lane's error trace stays finite after the freeze point
-    e1 = out["err"][1]
-    assert np.isfinite(e1[np.asarray(out["alive"][1])]).all()
+    # the WHOLE error trace stays finite -- including every step after the
+    # freeze point (masking by alive would exclude exactly the frozen
+    # entries the freeze logic must protect)
+    assert np.isfinite(out["err"][1]).all()
+    assert np.isfinite(out["Y"][1]).all()
 
 
 def test_batch_matches_single_with_nonzero_x0(arm_dataset, blockM_ref):

@@ -61,6 +61,9 @@ def test_kernel_matches_pure_path(B, n, mc):
     dp = np.abs(np.asarray(sol.x) - np.asarray(ref.x))[ok_both]
     assert np.median(dk) < 1e-4
     assert dk.max() < 5e-3
+    # 2x slack is deliberate headroom for f32 summation-order noise between
+    # the kernel and the pure path; the absolute bounds above carry the
+    # accuracy guarantee
     assert dk.max() < dp.max() * 2.0 + 1e-4
     dx = np.abs(np.asarray(x_k) - np.asarray(sol.x))[ok_both]
     assert np.median(dx) < 1e-4
@@ -86,8 +89,8 @@ def test_kernel_warm_start_and_failure_mask():
     A_bad[0] = 1.0
     A_bad[1] = -1.0
     b_bad = np.asarray(b).copy()
-    b_bad[:, 0] = -2.0    # x.sum() <= -2  AND  -x.sum() <= b1>0 -> infeasible
-    b_bad[:, 1] = -2.0
+    b_bad[:, 0] = -2.0    # x.sum() <= -2 AND -x.sum() <= -2
+    b_bad[:, 1] = -2.0    # i.e. sum(x) <= -2 and sum(x) >= 2: infeasible
     _, _, ok_bad, _ = solve_qp_shared_batched(
         jnp.asarray(P), jnp.asarray(q), jnp.asarray(A_bad),
         jnp.asarray(b_bad), iters=12, interpret=True)

@@ -6,7 +6,7 @@ import pytest
 
 from koopman_realizations_tpu.ops import qp_ref
 from koopman_realizations_tpu.ops.qp import solve_qp
-from tests.test_qp import random_qp
+from test_qp import random_qp
 
 pytestmark = pytest.mark.skipif(not qp_ref.available(),
                                 reason="native toolchain unavailable")

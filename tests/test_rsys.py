@@ -28,8 +28,10 @@ def test_construct_systems_shapes(rng):
 def test_generate_input_steps(rng):
     u = generate_input_steps(rng, T=201, num_steps=50)
     assert u.shape == (201,)
-    # piecewise constant: at most 5 distinct values (incl. trailing zero)
+    # piecewise constant: 5 step values + the trailing partial block,
+    # which must stay exactly 0 (rsys.py docstring contract)
     assert len(np.unique(u)) <= 6
+    assert np.all(u[200:] == 0.0)
     assert np.abs(u).max() <= 1.0
 
 
