@@ -27,6 +27,7 @@ def generate(trials: int = 15, tf: float = 60.0, Tramp: float = 2.5,
     cfg = cfg or ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
                            output_type="markers", substeps=5)
     arm = Arm(cfg)
+    n_val = min(n_val, trials - 1)     # always keep >= 1 train trial
     rng = np.random.default_rng(seed)
     W = np.zeros((trials, 2))
     sims = arm.simulate_rampNhold_batch(rng, tf=tf, Tramp=Tramp, W=W)
@@ -41,9 +42,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=15)
     ap.add_argument("--tf", type=float, default=60.0)
+    ap.add_argument("--val", type=int, default=5)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    ds = generate(args.trials, args.tf)
+    ds = generate(args.trials, args.tf, n_val=args.val)
     print(f"generated {len(ds.train)} train + {len(ds.val)} val trials, "
           f"T={ds.train[0].T}, y dim {ds.train[0].n}")
     if args.out:
