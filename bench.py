@@ -104,7 +104,9 @@ def main():
 
     alive_frac = float(np.asarray(out["alive"])[:, -1].mean())
     # every lane must survive: a silent lane loss would inflate steps/s
-    assert alive_frac == 1.0, f"alive_fraction {alive_frac} != 1.0"
+    # (explicit raise, not assert: python -O must not disable the gate)
+    if alive_frac != 1.0:
+        raise RuntimeError(f"alive_fraction {alive_frac} != 1.0")
     mpc_steps = batch * (steps - 1)
     steps_per_s = mpc_steps / dt
     realtime_sims_20hz = steps_per_s / 20.0

@@ -27,7 +27,7 @@ def generate(trials: int = 15, tf: float = 60.0, Tramp: float = 2.5,
     cfg = cfg or ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
                            output_type="markers", substeps=5)
     arm = Arm(cfg)
-    n_val = min(n_val, trials - 1)     # always keep >= 1 train trial
+    n_val = max(1, min(n_val, trials - 1))   # >=1 train AND >=1 val trial
     rng = np.random.default_rng(seed)
     W = np.zeros((trials, 2))
     sims = arm.simulate_rampNhold_batch(rng, tf=tf, Tramp=Tramp, W=W)

@@ -53,7 +53,7 @@ def main():
         input_slopeConst=1e-1, cost_running=10.0, cost_terminal=100.0,
         cost_input=(3e-3, 2e-3, 1e-3), proj_idx=(4, 5)))
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
-                        output_type="markers", substeps=2))
+                        output_type="markers", substeps=3))
     sim = Ksim(arm, mpc)
 
     steps = 8

@@ -11,6 +11,11 @@ Variants:
 Run: JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python scripts/nmpc_condense_bench.py
 """
 
+# HISTORICAL (round-2e evidence): 'cur' measured the PRE-rewrite condense;
+# since kmpc.py now ships the composed-F + one-hot form, 'cur' ==
+# 'composed' and the printed speedups no longer measure a live trade-off.
+
+
 import os
 import sys
 import time

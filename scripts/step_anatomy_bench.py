@@ -63,7 +63,7 @@ def main():
                                     obs_degree=(3,), dim_red=True,
                                     dtype="float32")).train_models()
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10, qp_iters=4, qp_dual_warm=True,
+        horizon=10, qp_iters=3, qp_dual_warm=True,   # bench.py config
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1,
         cost_running=10.0, cost_terminal=100.0,

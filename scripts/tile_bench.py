@@ -5,6 +5,13 @@ Times solve_qp_shared_batched at bench-representative shapes
 Run on the TPU (one claim per process).
 """
 
+# NOTE (timing trap): this script times with jax.block_until_ready walls,
+# which does NOT reliably sync Pallas programs over the axon tunnel --
+# its absolute numbers can read fast.  The 128-vs-256-vs-512 ranking was
+# later re-established with the sanctioned slope-fetch method in
+# scripts/ipm_slope_bench.py; use that script for any new tile decision.
+
+
 import time
 
 import jax
