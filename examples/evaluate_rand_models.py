@@ -37,16 +37,23 @@ def main():
                                     rng=rng)
         print(f"generated {args.generate} random systems")
     else:
-        folder = args.folder
+        folder, datasets = args.folder, None
         if folder is None:
             for cand in sorted(glob.glob(
                     "/root/reference/datafiles/rand-systems_*")):
                 files = glob.glob(cand + "/rsys-all_*.mat")
-                if files and len(load_rsys_all(files[0])) >= 20:
-                    folder = cand
-                    break
-        files = glob.glob(folder + "/rsys-all_*.mat")
-        datasets = load_rsys_all(files[0])
+                if files:
+                    loaded = load_rsys_all(files[0])
+                    if len(loaded) >= 20:
+                        folder, datasets = cand, loaded
+                        break
+        else:
+            files = glob.glob(folder + "/rsys-all_*.mat")
+            if files:
+                datasets = load_rsys_all(files[0])
+        if datasets is None:
+            sys.exit("no rsys-all_*.mat ensemble found; pass --folder or "
+                     "--generate N")
         print(f"loaded {len(datasets)} systems from {folder}")
 
     t0 = time.time()
