@@ -626,7 +626,8 @@ class NonlinearKmpc(_KmpcBase):
         self.Qd = jnp.asarray(self.q_diag)
         self.Rd = jnp.asarray(self.r_diag)
 
-    def _condense(self, Zl, Ul, zeta0, frozen=None, return_jacs=False):
+    def _condense(self, Zl, Ul, zeta0, frozen=None, return_jacs=False,
+                  Fv=None):
         """Linearize dynamics along (Zl, Ul) and condense to U-only form.
 
         Returns (Sz [stacked zeta wrt U], s0 [affine part]) with
@@ -641,20 +642,27 @@ class NonlinearKmpc(_KmpcBase):
         -- the chord Gauss-Newton used for stale ``sqp_jac_period`` passes.
         With ``return_jacs`` the (jac_z, jac_u) pair is appended to the
         return for caching.
+
+        ``Fv`` (optional, (Np, nz)) are precomputed dynamics values
+        F(Zl_k, Ul_k): whenever Zl is the true rollout of Ul (the default
+        between-pass update), the rollout's next-states ARE those values,
+        so the per-stage F re-evaluation here is pure waste -- pass
+        ``Fv=Z[1:]`` from ``_rollout_full`` to skip it.
         """
         with jax.default_matmul_precision("high"):
             if frozen is not None:
-                return self._condense_stale(Zl, Ul, zeta0, frozen)
-            Sz, sz, jacs = self._condense_inner(Zl, Ul, zeta0)
+                return self._condense_stale(Zl, Ul, zeta0, frozen, Fv=Fv)
+            Sz, sz, jacs = self._condense_inner(Zl, Ul, zeta0, Fv=Fv)
             if return_jacs:
                 return Sz, sz, jacs
             return Sz, sz
 
-    def _condense_inner(self, Zl, Ul, zeta0):
+    def _condense_inner(self, Zl, Ul, zeta0, Fv=None):
         Np, nz, m = self.Np, self.nz, self.m
         jac_z = jax.vmap(jax.jacfwd(self.F_fn, argnums=0))(Zl, Ul)   # (Np,nz,nz)
         jac_u = jax.vmap(jax.jacfwd(self.F_fn, argnums=1))(Zl, Ul)   # (Np,nz,m)
-        Fv = jax.vmap(self.F_fn)(Zl, Ul)                              # (Np,nz)
+        if Fv is None:
+            Fv = jax.vmap(self.F_fn)(Zl, Ul)                          # (Np,nz)
         cv = Fv - jnp.einsum("kij,kj->ki", jac_z, Zl) \
                 - jnp.einsum("kij,kj->ki", jac_u, Ul)
 
@@ -673,7 +681,7 @@ class NonlinearKmpc(_KmpcBase):
         sz = jnp.concatenate([s0[None], ss], axis=0)      # (Np+1, nz)
         return Sz, sz, (jac_z, jac_u)
 
-    def _condense_stale(self, Zl, Ul, zeta0, frozen):
+    def _condense_stale(self, Zl, Ul, zeta0, frozen, Fv=None):
         """Affine-only re-condensation about frozen Jacobians.
 
         The first-order model is F(z, u) ~= F(Zl_k, Ul_k)
@@ -681,10 +689,11 @@ class NonlinearKmpc(_KmpcBase):
         the defect Fv is exact at the new linearization point, only the
         sensitivities are stale.  Skips both jacfwd sweeps and the full
         (nz, Np m) S-scan -- just one F eval per stage plus an (nz,)-vector
-        recursion.
+        recursion (and with ``Fv`` from the rollout, no F eval at all).
         """
         jac_z, jac_u, Sz = frozen
-        Fv = jax.vmap(self.F_fn)(Zl, Ul)                              # (Np,nz)
+        if Fv is None:
+            Fv = jax.vmap(self.F_fn)(Zl, Ul)                          # (Np,nz)
         cv = Fv - jnp.einsum("kij,kj->ki", jac_z, Zl) \
                 - jnp.einsum("kij,kj->ki", jac_u, Ul)
 
@@ -714,10 +723,9 @@ class NonlinearKmpc(_KmpcBase):
                 zeta, u_prev, ref, jnp.tile(u_prev[None, :], (self.Np, 1)))
             shifted = jnp.concatenate([U_init[1:], U_init[-1:]], axis=0)
             # warm linearization trajectory: the rollout of the shifted plan
-            def roll(zc, u):
-                return self.F_fn(zc, u), zc
-            _, Zw = jax.lax.scan(roll, zeta, shifted)
-            U2, ok2 = self._solve_from(zeta, u_prev, ref, shifted, Zl=Zw)
+            Zw = self._rollout_full(zeta, shifted)
+            U2, ok2 = self._solve_from(zeta, u_prev, ref, shifted,
+                                       Zl=Zw[:-1], Fv=Zw[1:])
             c1 = jnp.where(ok1, self._roll_cost(zeta, U1, ref), jnp.inf)
             c2 = jnp.where(ok2, self._roll_cost(zeta, U2, ref), jnp.inf)
             take2 = c2 < c1
@@ -725,16 +733,15 @@ class NonlinearKmpc(_KmpcBase):
         return self._solve_from(zeta, u_prev, ref,
                                 jnp.tile(u_prev[None, :], (self.Np, 1)))
 
-    def _solve_from(self, zeta, u_prev, ref, Ul, Zl=None):
+    def _solve_from(self, zeta, u_prev, ref, Ul, Zl=None, Fv=None):
         Np, m, n = self.Np, self.m, self.n
         if Zl is None:
             if self.cfg.sqp_init == "rollout":
                 # linearize the first pass along the natural prediction
                 # (roll the held input through F) -- mid-transient the
                 # constant-state guess is a poor linearization point
-                def roll(zc, u):
-                    return self.F_fn(zc, u), zc
-                _, Zl = jax.lax.scan(roll, zeta, Ul)
+                Z = self._rollout_full(zeta, Ul)
+                Zl, Fv = Z[:-1], Z[1:]
             else:
                 Zl = jnp.tile(zeta[None, :], (Np, 1))
         U, ok = None, None
@@ -747,10 +754,11 @@ class NonlinearKmpc(_KmpcBase):
         frozen = None
         for it in range(self.cfg.sqp_iters):
             if it % jac_period == 0:
-                Sz, sz, jacs = self._condense(Zl, Ul, zeta, return_jacs=True)
+                Sz, sz, jacs = self._condense(Zl, Ul, zeta,
+                                              return_jacs=True, Fv=Fv)
                 frozen = (jacs[0], jacs[1], Sz)
             else:
-                Sz, sz = self._condense(Zl, Ul, zeta, frozen=frozen)
+                Sz, sz = self._condense(Zl, Ul, zeta, frozen=frozen, Fv=Fv)
             # predicted tracked outputs: y_k = Cz zeta_k[:n]
             Sy = jnp.einsum("pi,kij->kpj", self.Cz, Sz[:, : n, :]) \
                 .reshape((Np + 1) * self.nproj, Np * m)
@@ -801,13 +809,26 @@ class NonlinearKmpc(_KmpcBase):
             U_qp, ok = self._assemble_U(u_prev, sol.x), sol.ok
             if self.cfg.sqp_dual_warm:
                 lam_carry = sol.lam
-            U = self._line_search(zeta, Ul, U_qp, ref)
+            last = it == self.cfg.sqp_iters - 1
+            Zroll, cost = None, None
+            if self.cfg.sqp_linesearch > 0:
+                U, Zroll, cost = self._line_search(zeta, Ul, U_qp, ref)
+            else:
+                U = U_qp
+                # one exact rollout serves both the merit bookkeeping and
+                # the next pass's linearization trajectory + defect values;
+                # skipped entirely on the last pass when nothing consumes it
+                if self.cfg.sqp_best_of_passes or (
+                        not last and self.cfg.sqp_update != "linear"):
+                    Zroll = self._rollout_full(zeta, U)
             if self.cfg.sqp_best_of_passes:
                 # keep the best iterate by TRUE rollout merit across passes:
                 # the fixed-iteration Gauss-Newton can oscillate around (or
                 # through) a good plan mid-transient; returning its best
                 # visited point is the adaptive form of early stopping
-                cost = jnp.where(ok, self._roll_cost(zeta, U, ref), jnp.inf)
+                if cost is None:
+                    cost = self._cost_from_Z(Zroll, U, ref)
+                cost = jnp.where(ok, cost, jnp.inf)
                 if best_U is None:
                     best_U, best_cost, best_ok = U, cost, ok
                 else:
@@ -815,25 +836,43 @@ class NonlinearKmpc(_KmpcBase):
                     best_U = jnp.where(take, U, best_U)
                     best_cost = jnp.minimum(cost, best_cost)
                     best_ok = jnp.where(take, ok, best_ok)
-            if self.cfg.sqp_update == "linear":
-                # infeasible-path update: move Z along the LINEARIZED
-                # dynamics (defects stay open between passes, like
-                # fmincon's sqp iterates on [Z; U]) instead of re-rolling
-                # the nonlinear model through the new inputs.  Zl keeps the
-                # [z_0 .. z_{Np-1}] convention of every other path
-                # (Zl[0] = zeta exactly), so drop the TERMINAL stage of the
-                # (Np+1)-stacked prediction, not the initial one
-                Zl = (sz + Sz @ U.reshape(-1))[:-1]
-            else:
-                # feasible-path update: nonlinear re-rollout
-                def roll(zc, u):
-                    z1 = self.F_fn(zc, u)
-                    return z1, zc
-                _, Zl = jax.lax.scan(roll, zeta, U)
+            if not last:
+                if self.cfg.sqp_update == "linear":
+                    # infeasible-path update: move Z along the LINEARIZED
+                    # dynamics (defects stay open between passes, like
+                    # fmincon's sqp iterates on [Z; U]) instead of re-rolling
+                    # the nonlinear model through the new inputs.  Zl keeps
+                    # the [z_0 .. z_{Np-1}] convention of every other path
+                    # (Zl[0] = zeta exactly), so drop the TERMINAL stage of
+                    # the (Np+1)-stacked prediction, not the initial one
+                    Zl, Fv = (sz + Sz @ U.reshape(-1))[:-1], None
+                else:
+                    # feasible-path update: the rollout above, which also
+                    # carries F(Zl, Ul) = Zroll[1:] into the condensation
+                    Zl, Fv = Zroll[:-1], Zroll[1:]
             Ul = U
         if self.cfg.sqp_best_of_passes:
             return best_U, best_ok
         return U, ok
+
+    def _rollout_full(self, zeta, U):
+        """Exact nonlinear rollout of an input plan: Z = [z_0 .. z_Np].
+
+        Z[:-1] is the linearization trajectory for the next SQP pass and
+        Z[1:] == F(Z[:-1], U) row-for-row -- the ``Fv`` defect values the
+        condensation needs, for free.
+        """
+        def roll(zc, u):
+            z1 = self.F_fn(zc, u)
+            return z1, zc
+        zf, Zpre = jax.lax.scan(roll, zeta, U)    # Zpre = [z_0 .. z_{Np-1}]
+        return jnp.concatenate([Zpre, zf[None]], axis=0)      # (Np+1, nz)
+
+    def _cost_from_Z(self, Z, U, ref):
+        """Merit of a plan given its exact rollout (see ``_roll_cost``)."""
+        yflat = (Z[:, : self.n] @ self.Cz.T).reshape(-1)
+        track = self.Qd @ (yflat - ref.reshape(-1)) ** 2
+        return track + self.Rd @ (U.reshape(-1) ** 2)
 
     def _roll_cost(self, zeta, U, ref):
         """True (non-linearized) merit: rollout cost of an input plan.
@@ -843,30 +882,26 @@ class NonlinearKmpc(_KmpcBase):
         exact nonlinear rollout (fmincon's sqp evaluates its merit function
         the same way, ``Kmpc.m:1167-1174``).
         """
-        def roll(zc, u):
-            z1 = self.F_fn(zc, u)
-            return z1, zc
-        zf, Zpre = jax.lax.scan(roll, zeta, U)    # Zpre = [z_0 .. z_{Np-1}]
-        Z = jnp.concatenate([Zpre, zf[None]], axis=0)         # (Np+1, nz)
-        yflat = (Z[:, : self.n] @ self.Cz.T).reshape(-1)
-        track = self.Qd @ (yflat - ref.reshape(-1)) ** 2
-        return track + self.Rd @ (U.reshape(-1) ** 2)
+        return self._cost_from_Z(self._rollout_full(zeta, U), U, ref)
 
     def _line_search(self, zeta, U_old, U_qp, ref):
         """Backtracking merit line search between the previous plan and the
         QP step (``sqp_linesearch`` halvings; 0 = always take the full step).
 
         Both endpoints satisfy the convex input constraints, so every convex
-        combination does too.  All candidates evaluate in one vmap.
+        combination does too.  All candidates evaluate in one vmap.  Returns
+        (U, Z, cost) with Z/cost the winner's exact rollout and merit --
+        shared with the between-pass update instead of re-rolling.
         """
         ls = self.cfg.sqp_linesearch
-        if ls <= 0:
-            return U_qp
         alphas = jnp.asarray([1.0] + [0.5 ** i for i in range(1, ls + 1)],
                              U_qp.dtype)
         cands = U_old[None] + alphas[:, None, None] * (U_qp - U_old)[None]
-        costs = jax.vmap(lambda Uc: self._roll_cost(zeta, Uc, ref))(cands)
-        return cands[jnp.argmin(costs)]
+        Zs = jax.vmap(lambda Uc: self._rollout_full(zeta, Uc))(cands)
+        costs = jax.vmap(self._cost_from_Z, in_axes=(0, 0, None))(
+            Zs, cands, ref)
+        i = jnp.argmin(costs)
+        return cands[i], Zs[i], costs[i]
 
 
 def make_kmpc(model, scaler, cfg: MpcConfig):

@@ -275,7 +275,12 @@ def test_nmpc_solver_knobs(arm_dataset, blockM):
                dict(sqp_init="rollout"),
                dict(sqp_dual_warm=True),
                dict(sqp_jac_period=2),
-               dict(sqp_jac_period=5)):
+               dict(sqp_jac_period=5),
+               # interaction paths of the shared-rollout bookkeeping:
+               # merit reused from the line search / computed off a rollout
+               # that only exists for the merit
+               dict(sqp_linesearch=2, sqp_best_of_passes=True),
+               dict(sqp_update="linear", sqp_best_of_passes=True)):
         mpc = make_kmpc(ks.model, ks.scaler, dataclasses.replace(base, **kw))
         U, ok = mpc.solve(zeta, u_prev, refhor, U_init=U_init)
         assert bool(ok), kw
