@@ -97,6 +97,14 @@ class MpcConfig:
                                          # track better from the cold dual
                                          # start -- leave off unless
                                          # validated on your workload
+    qp_dual_shift: bool = False          # with qp_dual_warm: permute the
+                                         # carried multipliers one STAGE
+                                         # forward before seeding (receding
+                                         # horizon: the constraint active at
+                                         # stage k+1 of the old problem is
+                                         # the one near stage k of the new).
+                                         # Input-row blocks only; any state-
+                                         # bound rows keep their multiplier
     sqp_iters: int = 5                   # SQP relinearization passes (NMPC)
     sqp_dual_warm: bool = False          # carry each SQP pass's QP
                                          # multipliers into the next pass's

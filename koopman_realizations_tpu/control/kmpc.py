@@ -91,6 +91,35 @@ def input_constraint_rows(cfg: MpcConfig, m: int, Np: int, scaler):
     return np.concatenate(F_rows, axis=0), np.concatenate(c_rows)
 
 
+def dual_shift_perm(cfg: MpcConfig, m: int, Np: int):
+    """Row permutation advancing input-constraint multipliers one stage.
+
+    Receding horizon: the new problem's u_k sits where the old problem's
+    u_{k+1} sat, so the multiplier for a stage-k row is best seeded from the
+    old stage-(k+1) row (same input index, same inequality side); the last
+    stage reuses itself.  Block layout mirrors ``input_constraint_rows``:
+    bounds (stages 1..Np-1), slope (diffs 0..Np-2), smoothness (0..Np-3),
+    each stage 2m rows.
+    """
+    idx = []
+    base = 0
+
+    def block(num_stages):
+        nonlocal base
+        for k in range(num_stages):
+            src = min(k + 1, num_stages - 1)
+            idx.extend(range(base + src * 2 * m, base + (src + 1) * 2 * m))
+        base += num_stages * 2 * m
+
+    if cfg.input_bounds is not None:
+        block(Np - 1)
+    if cfg.input_slopeConst is not None:
+        block(Np - 1)
+    if cfg.input_smoothConst is not None:
+        block(Np - 2)
+    return np.asarray(idx, np.int32)
+
+
 def state_constraint_rows(cfg: MpcConfig, n: int, NL: int, Np: int, scaler):
     """(E, c) rows bounding the first n lifted coords (``Kmpc.m:300-318``).
 
@@ -183,6 +212,28 @@ class _KmpcBase:
         from koopman_realizations_tpu.ops.qp import band_offset_of
         self._band = band_offset_of(F[:, self.m:]) \
             if cfg.state_bounds is None else None
+        # optional stage-advance of carried multipliers (qp_dual_shift);
+        # extended with identity over any appended state-bound rows by
+        # _extend_dual_shift once the controller knows its full row count
+        self._dual_shift = dual_shift_perm(cfg, self.m, self.Np) \
+            if getattr(cfg, "qp_dual_shift", False) and F.shape[0] else None
+
+    def _extend_dual_shift(self, n_con: int):
+        """Pad the F-row shift permutation with identity to ``n_con`` rows
+        (state-bound rows keep their own multiplier) and move it on-device."""
+        if self._dual_shift is None:
+            return
+        perm = self._dual_shift
+        if n_con > perm.size:
+            perm = np.concatenate(
+                [perm, np.arange(perm.size, n_con, dtype=np.int32)])
+        self._dual_shift = jnp.asarray(perm)
+
+    def _shift_lam(self, lam_init):
+        """Apply the receding-horizon stage shift to a carried dual start."""
+        if lam_init is None or self._dual_shift is None:
+            return lam_init
+        return jnp.take(lam_init, self._dual_shift, axis=-1)
 
     # memory-constraint elimination helpers -------------------------------
 
@@ -252,6 +303,7 @@ class LinearKmpc(_KmpcBase):
         self.Mc = jnp.asarray(M)
         self.c = jnp.asarray(c)
         self.Qd = jnp.asarray(self.q_diag)
+        self._extend_dual_shift(L.shape[0])
 
     @property
     def n_con(self) -> int:
@@ -282,7 +334,7 @@ class LinearKmpc(_KmpcBase):
                        x0=self._warm_start(u_prev, U_init),
                        shared_A=True,
                        backend=self.cfg.qp_backend, band_offset=self._band,
-                       lam0=lam_init)
+                       lam0=self._shift_lam(lam_init))
         if lam_init is None:
             return self._assemble_U(u_prev, sol.x), sol.ok
         return self._assemble_U(u_prev, sol.x), sol.ok, sol.lam
@@ -495,6 +547,7 @@ class BilinearKmpc(_KmpcBase):
 
         self.PG = fuse(self.PAt)
         self.EG = fuse(self.EAt) if self._sb_lo is not None else None
+        self._extend_dual_shift(self.n_con)
 
     def consts(self) -> dict:
         return bilinear_consts(self)
@@ -526,7 +579,7 @@ class BilinearKmpc(_KmpcBase):
             Np=self.Np, m=self.m, n=self.n, nproj=self.nproj,
             qp_iters=self.cfg.qp_iters, iters=iters,
             backend=self.cfg.qp_backend, band=self._band,
-            lam_init=lam_init)
+            lam_init=self._shift_lam(lam_init))
         if lam_init is None:
             return U, ok
         return U, ok, lam

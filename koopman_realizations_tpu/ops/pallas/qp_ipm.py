@@ -62,6 +62,12 @@ def _chol_lanes(M, n):
     (n=27, T=128) -- sub-vreg slices still occupy whole (8, 128) vregs and
     the zero-pad concats add ops.  Measured by in-process slope-fetch A/B
     (scripts/ipm_ab_bench.py, scripts/ipm_slope_bench.py).
+
+    A right-looking SUBLANE-blocked variant (8-aligned dim1 blocks, rank-8
+    deferred trailing updates, bitwise-identical results; ~30% fewer
+    nominal vreg FMAs) also measured 4% SLOWER at the factored bench shape
+    (n=27, p=22, band=3, iters=3, B=16384) -- Mosaic's relayouts on the
+    block slices eat the savings.  Full-width it stays.
     """
     cols, rds = [], []
     for j in range(n):

@@ -350,3 +350,39 @@ def test_dual_warm_start_equivalence_and_reduced_iters(arm_dataset, blockM):
     res_rti = run(qp_dual_warm=True, qp_iters=5)
     assert res_rti["alive"].all()
     assert res_rti["err"].mean() <= res_off["err"].mean() * 1.02 + 1e-4
+
+
+def test_dual_shift_perm_and_closed_loop(arm_dataset, blockM):
+    """qp_dual_shift advances carried multipliers one stage (receding
+    horizon) and must hold closed-loop quality in the reduced-iteration
+    regime."""
+    import dataclasses
+
+    from koopman_realizations_tpu.control.kmpc import dual_shift_perm
+
+    base = example_control_cfg()
+    m, Np = 3, base.horizon
+    perm = dual_shift_perm(base, m, Np)
+    # a valid permutation over the bound + slope blocks
+    nb = 2 * m * (Np - 1)
+    assert perm.size == 2 * nb
+    assert sorted(perm[:nb]) != list(range(nb))          # actually shifts
+    # stage-k bound rows read from stage k+1; the last stage reuses itself
+    np.testing.assert_array_equal(perm[:2 * m], np.arange(2 * m, 4 * m))
+    np.testing.assert_array_equal(perm[nb - 2 * m:nb],
+                                  np.arange(nb - 2 * m, nb))
+    # the slope block shifts within itself (offsets stay in [nb, 2nb))
+    assert perm[nb:].min() >= nb and perm[nb:].max() < 2 * nb
+
+    ks = train(arm_dataset, "bilinear")
+    arm = shipped_arm()
+
+    def run(**kw):
+        cfg = dataclasses.replace(base, **kw)
+        sim = Ksim(arm, make_kmpc(ks.model, ks.scaler, cfg))
+        return sim.run_trial_mpc(blockM["y"], steps=120)
+
+    res_off = run()
+    res_shift = run(qp_dual_warm=True, qp_dual_shift=True, qp_iters=5)
+    assert res_shift["alive"].all()
+    assert res_shift["err"].mean() <= res_off["err"].mean() * 1.02 + 1e-4
