@@ -53,15 +53,17 @@ def main():
                                     obs_degree=(3,), dim_red=True,
                                     dtype="float32")).train_models()
 
-    # qp_iters=3 + the dual warm start (qp_dual_warm): a real-time-
-    # iteration regime verified on THIS workload over the full 301-step
-    # trajectory -- alive_fraction 1.0 at B=16384, mean lane error 0.0203
-    # (== golden) and the WORST lane improves vs the 8-iteration run
-    # (0.0216 vs 0.0267).  Without the dual warm start 5 iterations are
-    # needed for the same quality; the library default stays 10 for margin
-    # on harder bases (snake fourier).
+    # qp_iters=2 + the stage-SHIFTED dual warm start (qp_dual_warm +
+    # qp_dual_shift): a real-time-iteration regime verified on THIS
+    # workload over the full 301-step trajectory at B=16384
+    # (scripts/dual_shift_sweep.py, reproduced twice) -- alive_fraction
+    # 1.0, mean lane error 0.0205 vs the 0.0203 golden run (worst lane
+    # 0.0349, still ~3x below the golden run's own max-err step 0.0992).
+    # qp_iters=1 collapses (alive 0.87): 2 is the floor.  Without the dual
+    # warm start 5 iterations are needed for the same quality; the library
+    # default stays 10 for margin on harder bases (snake fourier).
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10, qp_iters=3, qp_dual_warm=True,
+        horizon=10, qp_iters=2, qp_dual_warm=True, qp_dual_shift=True,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1,
         cost_running=10.0, cost_terminal=100.0,
