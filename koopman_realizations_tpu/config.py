@@ -32,7 +32,10 @@ class SysidConfig:
                                         # (Ksysid.m:1500-1504 uses 99)
     seed: int = 0                       # PRNG seed (gaussian centers, subsampling)
     dtype: str = "float64"              # regression dtype ('float32' on TPU)
-    lasso_iters: int = 2000             # FISTA iterations for the LASSO path
+    lasso_iters: int = 50000            # FISTA iteration CAP for the LASSO path
+    lasso_tol: float = 1e-12            # FISTA convergence stop (rel objective
+    # change per 100 iters); the paper-scale poly-3 Gram is ~1e17-conditioned
+    # and needs ~30k iterations -- certified in tests/test_lasso_cert.py
 
     def __post_init__(self):
         object.__setattr__(self, "obs_type", tuple(self.obs_type))

@@ -217,6 +217,13 @@ class _KmpcBase:
         # _extend_dual_shift once the controller knows its full row count
         self._dual_shift = dual_shift_perm(cfg, self.m, self.Np) \
             if getattr(cfg, "qp_dual_shift", False) and F.shape[0] else None
+        if self._dual_shift is not None:
+            # dual_shift_perm re-derives input_constraint_rows' block layout
+            # independently; a reorder/resize of the constraint blocks must
+            # fail loudly, not silently mis-seed the qp_iters=2 regime
+            assert self._dual_shift.size == F.shape[0], (
+                f"dual_shift_perm layout drift: perm covers "
+                f"{self._dual_shift.size} rows, F has {F.shape[0]}")
 
     def _extend_dual_shift(self, n_con: int):
         """Pad the F-row shift permutation with identity to ``n_con`` rows

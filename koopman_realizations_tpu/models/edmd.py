@@ -269,7 +269,8 @@ class Ksysid:
             # visibly degrades models (same rule as _lstsq64)
             K = jnp.asarray(lasso_constrained_lstsq_f64(
                 Px, Py, t, pin_mask=pin,
-                iters=self.cfg.lasso_iters), self.dtype)
+                iters=self.cfg.lasso_iters,
+                tol=self.cfg.lasso_tol), self.dtype)
         NLdim = self.N * (self.nw + 1)
         return {"K": K, "Px": Px[:, :NLdim], "Py": Py[:, :NLdim],
                 "u": jnp.asarray(self.snapshot_pairs.u, self.dtype),

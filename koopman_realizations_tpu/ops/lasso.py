@@ -89,7 +89,7 @@ def lasso_constrained_lstsq(Px, Py, t, pin_mask=None, pin_value=1.0,
 
 
 def lasso_constrained_lstsq_f64(Px, Py, t, pin_mask=None, pin_value=1.0,
-                                iters: int = 2000):
+                                iters: int = 2000, tol: float = None):
     """Host numpy float64 mirror of ``lasso_constrained_lstsq``.
 
     The Koopman regression must run in float64 (f32 visibly degrades
@@ -98,6 +98,14 @@ def lasso_constrained_lstsq_f64(Px, Py, t, pin_mask=None, pin_value=1.0,
     exactly like ``Ksysid._lstsq64`` does for the plain least squares.
     Same algorithm step for step; parity-tested against the JAX version
     under the x64 test env.
+
+    ``tol``: optional convergence stop -- every 100 iterations the Gram-form
+    objective is evaluated and the loop exits once its change falls below
+    ``tol * max(obj, 1)``.  The paper-scale poly-3 Gram is conditioned at
+    ~1e17, where 2000 fixed iterations leave a measured 2.4e-4 relative
+    objective gap vs the certified oracle; converged FISTA (~30k iters,
+    certified by ``tests/test_lasso_cert.py``) closes it, and ``tol`` keeps
+    small well-conditioned problems from paying the full cap.
     """
     import numpy as np
 
@@ -139,10 +147,86 @@ def lasso_constrained_lstsq_f64(Px, Py, t, pin_mask=None, pin_value=1.0,
 
     K = proj(np.zeros_like(H))
     Z, tk = K, 1.0
-    for _ in range(iters):
+    const = float((Py ** 2).sum())
+    obj = lambda Kc: float(np.vdot(Kc, G @ Kc) - 2.0 * np.vdot(Kc, H)) + const
+    f_prev = obj(K)
+    for it in range(iters):
         grad = 2.0 * (G @ Z - H)
         K_new = proj(Z - grad / L)
         t_new = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * tk ** 2))
         Z = K_new + ((tk - 1.0) / t_new) * (K_new - K)
         K, tk = K_new, t_new
+        if tol is not None and (it + 1) % 100 == 0:
+            f = obj(K)
+            if abs(f_prev - f) <= tol * max(abs(f), 1.0):
+                break
+            f_prev = f
     return K
+
+
+# --------------------------------------------------------------------------
+# certification oracle (tests/scripts only; not a production path)
+# --------------------------------------------------------------------------
+
+
+def lasso_oracle_penalized(G, H, mu, K0, pin_mask=None, pin_value=1.0,
+                           tol: float = 1e-13, max_sweeps: int = 4000):
+    """Cyclic coordinate descent on  min ||Px K - Py||_F^2 + mu ||K||_1.
+
+    Independent oracle for certifying the FISTA path against the
+    reference's +/- split quadprog semantics (``Ksysid.m:1095-1176``): the
+    split QP's Hessian kron(I, Px^T Px) is block-diagonal over the columns
+    of K, so for a fixed L1 multiplier each column is an independent lasso
+    -- solved here to machine precision, vectorized over columns (shared
+    Gram G = Px^T Px, H = Px^T Py).  Pinned entries (the delay constraints)
+    are held at ``pin_value`` and excluded from both the penalty update and
+    the free-budget accounting, matching ``lasso_constrained_lstsq``.
+    """
+    import numpy as np
+
+    K = np.array(K0, np.float64, copy=True)
+    d = np.diag(G)
+    for _ in range(max_sweeps):
+        delta = 0.0
+        for i in range(G.shape[0]):
+            c = H[i] - G[i] @ K + d[i] * K[i]
+            new = np.sign(c) * np.maximum(np.abs(c) - 0.5 * mu, 0.0) / d[i]
+            if pin_mask is not None:
+                new = np.where(pin_mask[i], pin_value, new)
+            delta = max(delta, float(np.max(np.abs(new - K[i]))))
+            K[i] = new
+        if delta < tol:
+            break
+    return K
+
+
+def lasso_oracle_constrained(G, H, budget, mu_lo, mu_hi, K_warm,
+                             pin_mask=None, pin_value=1.0,
+                             bisect_steps: int = 25, cd_tol: float = 1e-13):
+    """Budget-constrained oracle: bisection on the L1 multiplier, each
+    step solving the penalized problem exactly (``lasso_oracle_penalized``)
+    with warm starts.  ``[mu_lo, mu_hi]`` must bracket the multiplier
+    (callers seed it from the candidate solution's own KKT gradient).
+    Returns (K, mu) with K the solve at the final FEASIBLE (upper) end --
+    so ``f(K) + mu (||K||_1 - budget)`` is a rigorous weak-duality lower
+    bound on the constrained optimum.
+    """
+    import numpy as np
+
+    def free_l1(K):
+        if pin_mask is not None:
+            return float(np.abs(np.where(pin_mask, 0.0, K)).sum())
+        return float(np.abs(K).sum())
+
+    K = np.array(K_warm, np.float64, copy=True)
+    for _ in range(bisect_steps):
+        mu = 0.5 * (mu_lo + mu_hi)
+        K = lasso_oracle_penalized(G, H, mu, K, pin_mask, pin_value,
+                                   tol=cd_tol)
+        if free_l1(K) > budget:
+            mu_lo = mu
+        else:
+            mu_hi = mu
+    K = lasso_oracle_penalized(G, H, mu_hi, K, pin_mask, pin_value,
+                               tol=cd_tol)
+    return K, mu_hi

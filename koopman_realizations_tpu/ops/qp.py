@@ -56,11 +56,46 @@ def band_offset_of(A) -> "int | None":
     return None
 
 
-@partial(jax.jit,
-         static_argnames=("iters", "shared_A", "backend", "band_offset"))
+def _debug_check_band(A, band_offset) -> None:
+    """Opt-in consistency check of the ``band_offset`` static promise.
+
+    Enabled by ``KRT_QP_DEBUG_CHECKS=1``: when A is concretely available
+    (not a tracer -- i.e. the caller is outside jit), recompute the band
+    structure and fail loudly on a mismatch instead of silently corrupting
+    the Newton matrix in the Pallas kernel.  Free when disabled; trace-time
+    only when enabled inside jit (A is a tracer there and is skipped).
+    """
+    import os
+    if band_offset is None or not int(os.environ.get(
+            "KRT_QP_DEBUG_CHECKS", "0")):
+        return
+    if isinstance(A, jax.core.Tracer):
+        return
+    import numpy as np
+    actual = band_offset_of(np.asarray(A))
+    # diagonal-only (0) structure is covered by any band promise
+    if actual != band_offset and actual != 0:
+        raise ValueError(
+            f"band_offset promise {band_offset} does not match the actual "
+            f"constraint-stack structure ({actual}); pass the value from "
+            f"band_offset_of on the real rows")
+
+
 def solve_qp(P, q, A, b, iters: int = 25, x0=None,
              shared_A: bool = False, backend: str = "auto",
              band_offset: int = None, lam0=None) -> QPSolution:
+    """See ``_solve_qp``; this wrapper adds the opt-in ``KRT_QP_DEBUG_CHECKS``
+    validation of the ``band_offset`` static promise before entering jit."""
+    _debug_check_band(A, band_offset)
+    return _solve_qp(P, q, A, b, iters, x0, shared_A, backend,
+                     band_offset, lam0)
+
+
+@partial(jax.jit,
+         static_argnames=("iters", "shared_A", "backend", "band_offset"))
+def _solve_qp(P, q, A, b, iters: int = 25, x0=None,
+              shared_A: bool = False, backend: str = "auto",
+              band_offset: int = None, lam0=None) -> QPSolution:
     """Interior-point solve of min 1/2 x'Px + q'x s.t. Ax <= b.
 
     P must be symmetric PSD (the MPC Hessian is PSD by construction; a small
@@ -124,11 +159,21 @@ def _factored_Pq(W, v, r_diag):
     return P, q
 
 
-@partial(jax.jit,
-         static_argnames=("iters", "backend", "band_offset"))
 def solve_qp_factored(W, v, r_diag, A, b, iters: int = 25, x0=None,
                       backend: str = "auto", band_offset: int = None,
                       lam0=None) -> QPSolution:
+    """See ``_solve_qp_factored``; wrapper adding the opt-in
+    ``KRT_QP_DEBUG_CHECKS`` validation of the ``band_offset`` promise."""
+    _debug_check_band(A, band_offset)
+    return _solve_qp_factored(W, v, r_diag, A, b, iters, x0, backend,
+                              band_offset, lam0)
+
+
+@partial(jax.jit,
+         static_argnames=("iters", "backend", "band_offset"))
+def _solve_qp_factored(W, v, r_diag, A, b, iters: int = 25, x0=None,
+                       backend: str = "auto", band_offset: int = None,
+                       lam0=None) -> QPSolution:
     """Least-squares-form QP: min ||W x + v||_2^2 + x^T diag(r) x
     s.t. A x <= b  (dense form P = 2 (W^T W + diag(r)), q = 2 W^T v).
 

@@ -110,6 +110,19 @@ def animate_arm(arm, alpha_traj, path: str, ref_xy=None, y_xy=None,
     return _save_anim(ani, fig, path, fps)
 
 
+def animate_arm_refvmpc(arm, alpha_traj, ref_xy, path: str, y_xy=None,
+                        fps: int = 20, stride: int = 1):
+    """Arm animation with reference overlay (``Arm.animate_arm_refvmpc:
+    573-653``).
+
+    Named counterpart of the reference writer; the implementation is
+    ``animate_arm`` with the reference/actual end-effector traces enabled
+    (the general form subsumes the refvmpc-specific one).
+    """
+    return animate_arm(arm, alpha_traj, path, ref_xy=ref_xy, y_xy=y_xy,
+                       fps=fps, stride=stride)
+
+
 def _save_anim(ani, fig, path, fps):
     plt = _plt()
     try:

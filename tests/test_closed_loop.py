@@ -363,7 +363,9 @@ def test_dual_shift_perm_and_closed_loop(arm_dataset, blockM):
     base = example_control_cfg()
     m, Np = 3, base.horizon
     perm = dual_shift_perm(base, m, Np)
-    # a valid permutation over the bound + slope blocks
+    # a stage-advance map over the bound + slope blocks -- deliberately
+    # NON-bijective (stage-0 sources are dropped, the last stage is
+    # duplicated), so the != below detects non-identity, not permutation-ness
     nb = 2 * m * (Np - 1)
     assert perm.size == 2 * nb
     assert sorted(perm[:nb]) != list(range(nb))          # actually shifts

@@ -81,6 +81,10 @@ def test_animate_arm_refendeff_and_validation(tmp_path):
     p2 = viz.animate_arm_validation(arm, alpha, markers,
                                     str(tmp_path / "val.mp4"), fps=5)
     assert p2.endswith((".mp4", ".gif"))
+    # named refvmpc counterpart (``Arm.animate_arm_refvmpc:573-653``)
+    p3 = viz.animate_arm_refvmpc(arm, alpha, ref,
+                                 str(tmp_path / "rv.mp4"), y_xy=ref, fps=5)
+    assert p3.endswith((".mp4", ".gif"))
 
 
 def test_animate_timeseries(tmp_path):
