@@ -68,10 +68,15 @@ def _fit_and_val(Ytr, Utr, Yval, Uval, degree: int, family: str,
     """
     S, R, T = Ytr.shape
 
-    # snapshot pairs within each trial (no cross-trial pairs)
-    a = Ytr[:, :, :-1].reshape(S, -1)          # x_k
-    b = Ytr[:, :, 1:].reshape(S, -1)           # x_{k+1}
-    u = Utr[:, :, :-1].reshape(S, -1)
+    # snapshot pairs within each trial (no cross-trial pairs); the final
+    # pair is dropped to mirror the production trainer's P-1 subsample
+    # quirk (``Ksysid.m:973-975`` samples num_max = P-1 pairs, so with
+    # snapshots=Inf the last merged pair is always excluded) -- keeps this
+    # path pinned to Ksysid at ~1e-3 instead of percent level
+    # (tests/test_rsys.py)
+    a = Ytr[:, :, :-1].reshape(S, -1)[:, :-1]  # x_k
+    b = Ytr[:, :, 1:].reshape(S, -1)[:, :-1]   # x_{k+1}
+    u = Utr[:, :, :-1].reshape(S, -1)[:, :-1]
 
     def lift(x):                               # (K,) -> (K, d+1)
         return _poly1d(x, degree).T

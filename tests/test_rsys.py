@@ -101,14 +101,17 @@ def test_evaluate_rand_models_on_generated_data(rng):
     assert out["linear"]["median"][-1] < 1.0
 
 
-def test_rand_models_matches_production_trainer(shipped_rsys):
-    """The batched ensemble path must agree with per-system Ksysid fits.
+def _pin_to_production(datasets, rtol=1e-6, atol=1e-9):
+    """Pin ``workflows.rand_models._fit_and_val`` to per-system Ksysid fits.
 
-    ``workflows.rand_models._fit_and_val`` re-implements scaling, poly
-    lifting, and the Gram solve for the stacked system axis; this pins it to
-    the production trainer per (family, degree) config so the two cannot
-    silently diverge (the bespoke basis omits Ksysid's duplicated-zeta
-    column, a ridge-level perturbation of the same span).
+    The batched path re-implements scaling, poly lifting, and the Gram
+    solve for the stacked system axis; both are deterministic on the same
+    data and agree to ~1e-8 relative once the batched path drops the final
+    snapshot pair like Ksysid's P-1 subsample quirk (the round-2 10%
+    tolerance was masking exactly that one-pair mismatch).  The remaining
+    differences (Ksysid's duplicated-zeta basis column + min-norm lstsq vs
+    the bespoke ridge Gram solve) are span-equivalent and measure below
+    1e-8 on the shipped ensembles.
     """
     import jax.numpy as jnp
 
@@ -120,7 +123,6 @@ def test_rand_models_matches_production_trainer(shipped_rsys):
         _stack_ensemble,
     )
 
-    datasets = shipped_rsys[:3]
     Ytr, Utr, Yval, Uval = _stack_ensemble(datasets)
     y_fac, y_off, u_fac, u_off = _scale_params(Ytr, Utr)
     args = [jnp.asarray(v) for v in (
@@ -142,5 +144,19 @@ def test_rand_models_matches_production_trainer(shipped_rsys):
             err_prod.append(np.mean(np.abs(ysim - yreal))
                             / np.mean(np.abs(yreal)))
         err_prod = np.asarray(err_prod)
-        assert np.allclose(err_batched, err_prod, rtol=0.1, atol=5e-3), \
+        assert np.allclose(err_batched, err_prod, rtol=rtol, atol=atol), \
             (family, degree, err_batched, err_prod)
+
+
+def test_rand_models_matches_production_trainer(shipped_rsys):
+    _pin_to_production(shipped_rsys[:3])
+
+
+def test_rand_models_pin_on_generated_data(rng):
+    """Same pin on generated ensembles, so it cannot silently skip when the
+    shipped rsys folders are absent."""
+    ens = construct_systems(num_sys=3, num_terms=5, degree_x=3, degree_u=1,
+                            rng=rng)
+    datasets = simulate_systems(ens, t_end=25.0, Ts=0.05, num_trials=5,
+                                rng=rng)
+    _pin_to_production(datasets)
