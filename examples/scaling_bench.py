@@ -1,12 +1,18 @@
 """Scaling harness: closed-loop MPC throughput vs mesh size.
 
 On a pod slice this measures sims/s at 1 chip / 1 host / N hosts (the
-BASELINE.md scaling axes). Without multi-chip hardware it runs on a forced
-N-virtual-device CPU mesh to validate the sharded execution path and
-measure parallel efficiency of the harness itself.
+BASELINE.md scaling axes).  Without multi-chip hardware it runs on a forced
+N-virtual-device CPU mesh to validate the sharded execution path and bound
+the sharding overhead of the harness itself: at every mesh size it times
+BOTH the shard_map runner and the plain single-device vmap runner on the
+same total batch, so the printed table answers "what does spreading lanes
+over the mesh cost vs one big vmap" directly.
 
 Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
           python examples/scaling_bench.py
+      SCALING_BENCH_TPU=1 python examples/scaling_bench.py   # real chip(s)
+
+Env knobs: SCALING_LANES_PER_DEV (default 32), SCALING_STEPS (default 40).
 """
 
 import os
@@ -39,6 +45,14 @@ from koopman_realizations_tpu.utils.matio import load_data4sysid, load_ref_traje
 REF = "/root/reference"
 
 
+def _time_runner(fn, X0, W, reps=3):
+    out = jax.block_until_ready(fn(X0, W))     # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(fn(X0, W))
+    return (time.perf_counter() - t0) / reps, out
+
+
 def main():
     n_dev_total = len(jax.devices())
     data = load_data4sysid(
@@ -56,25 +70,35 @@ def main():
                         output_type="markers", substeps=3))
     sim = Ksim(arm, mpc)
 
-    steps = 8
-    lanes_per_dev = 32
-    print(f"devices available: {n_dev_total} "
-          f"({jax.devices()[0].platform})")
+    steps = int(os.environ.get("SCALING_STEPS", "40"))
+    lanes_per_dev = int(os.environ.get("SCALING_LANES_PER_DEV", "32"))
+    record = ("Y", "alive")
+    print(f"devices available: {n_dev_total} ({jax.devices()[0].platform}), "
+          f"steps={steps}, lanes/dev={lanes_per_dev}")
+    print(f"{'ndev':>4} {'B':>6} {'sharded steps/s':>16} "
+          f"{'vmap steps/s':>14} {'overhead':>9} {'alive':>6}")
     n = 1
     while n <= n_dev_total:
-        mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
         B = lanes_per_dev * n
         X0 = np.zeros((B, 6), np.float32)
         X0[:, 0] = np.linspace(-0.2, 0.2, B)
         W = np.zeros((B, 2), np.float32)
-        fn = sharded_batch_runner(sim, ref["y"], mesh, steps=steps)
-        out = jax.block_until_ready(fn(X0, W))     # compile + warmup
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(X0, W))
-        dt = time.perf_counter() - t0
-        sps = B * (steps - 1) / dt
-        print(f"  {n} device(s): B={B:4d}  {sps:10,.0f} mpc steps/s  "
-              f"alive={np.asarray(out['alive'])[:, -1].mean():.2f}")
+
+        mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
+        fn_sh = sharded_batch_runner(sim, ref["y"], mesh, steps=steps,
+                                     record=record)
+        dt_sh, out = _time_runner(fn_sh, X0, W)
+
+        # baseline: the identical workload as ONE device-local vmap scan
+        fn_vm = sim.batched_runner(ref["y"], steps=steps, record=record)
+        dt_vm, _ = _time_runner(fn_vm, X0, W)
+
+        sps_sh = B * (steps - 1) / dt_sh
+        sps_vm = B * (steps - 1) / dt_vm
+        over = (dt_sh - dt_vm) / dt_vm * 100.0
+        alive = np.asarray(out["alive"])[:, -1].mean()
+        print(f"{n:>4} {B:>6} {sps_sh:>16,.0f} {sps_vm:>14,.0f} "
+              f"{over:>+8.1f}% {alive:>6.2f}", flush=True)
         n *= 2
 
 

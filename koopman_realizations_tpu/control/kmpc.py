@@ -592,18 +592,15 @@ class BilinearKmpc(_KmpcBase):
         return U, ok, lam
 
 
-def _compose_nonlinear_F(model: NonlinearModel):
-    """Fold the PCA econ basis and the Koopman output map into one matrix.
+def _composed_maps(model: NonlinearModel):
+    """Host-side (A1, A2, a0) of the composed F(x) = A1 x + A2 feats(x) + a0.
 
     ``NonlinearModel.F`` evaluates W^T [x ; pcs^T g_full(x) ; 1] -- a
     (N_full -> npcs) projection followed by a (N -> nzeta) output map on
     EVERY vector-field/Jacobian evaluation.  Both maps are linear in the
     raw feature vector g_full = [x ; feats(x) ; 1], so they compose
-    host-side (float64) into F(x) = A1 x + A2 feats(x) + a0 -- for the
-    bench NMPC model (N=175, N_full=220, nzeta=6) a ~30x matmul-FLOP
-    reduction per evaluation.  Exactness: pure reassociation of the same
-    linear algebra (~1e-7 in f32); validated against ``model.F`` in
-    tests/test_closed_loop.py.
+    host-side (float64) into one matrix per term.  Exactness: pure
+    reassociation of the same linear algebra (~1e-7 in f32).
     """
     basis = model.basis
     W_T = np.asarray(model.W, np.float64).T             # (nzeta, N)
@@ -616,6 +613,16 @@ def _compose_nonlinear_F(model: NonlinearModel):
         a0 = W_T[:, -1] + Wp @ P_T[:, -1]
     else:
         A1, A2, a0 = W_T[:, :nza], W_T[:, nza:-1], W_T[:, -1]
+    return A1, A2, a0
+
+
+def _compose_nonlinear_F(model: NonlinearModel):
+    """Jittable composed F (see ``_composed_maps``) -- for the bench NMPC
+    model (N=175, N_full=220, nzeta=6) a ~30x matmul-FLOP reduction per
+    evaluation vs ``model.F``; validated in tests/test_closed_loop.py.
+    """
+    basis = model.basis
+    A1, A2, a0 = _composed_maps(model)
     dt = np.asarray(model.W).dtype
     A1j = jnp.asarray(A1.astype(dt))
     A2j = jnp.asarray(A2.astype(dt))
@@ -631,6 +638,71 @@ def _compose_nonlinear_F(model: NonlinearModel):
     return F_fn
 
 
+def _compose_poly_jacobian(model: NonlinearModel):
+    """Analytic Jacobian of the composed F for ALL-POLY dictionaries.
+
+    The SQP's jacfwd sweeps push 9 tangents through the 219-monomial lift
+    per (lane, stage) -- measured 0.95 ms of the 1.82 ms SQP pass at B=2048
+    and 16 ms at B=8192 (17x for 4x lanes: the tangent-feature
+    intermediates are pure HBM traffic).  But for monomials
+    d(x^e)/dx_i = e_i x^(e - delta_i), a monomial of one degree lower, so
+    the composed Jacobian is LINEAR in the degree <= (d-1) monomials:
+
+        J(x) = A1 + unflatten(G @ g_low(x), (nzeta, nza))
+
+    with g_low(x) = [x ; poly blocks 2..d-1] (a PREFIX of the lift the
+    solve computes anyway) and G the static (nzeta*nza, n_low) generator
+    G[(o, i), pos(e - delta_i)] += A2[o, e] * e_i, precomputed host-side in
+    f64.  One (B Np, n_low) x (n_low, nzeta*nza) MXU GEMM replaces both
+    jacfwd sweeps.  Returns a jittable ``J_fn(zeta, u) -> (nzeta, nza)`` or
+    None when the dictionary is not a single poly family (jacfwd fallback).
+    """
+    basis = model.basis
+    if basis is None or len(basis.families) != 1 \
+            or basis.families[0][0] != "poly":
+        return None
+    from koopman_realizations_tpu.ops.observables import poly_parent_tables
+    degree = basis.families[0][1]
+    nza = basis.nzeta_aug
+    A1, A2, _ = _composed_maps(model)
+    nzo = A1.shape[0]
+    dt = np.asarray(model.W).dtype
+    A1j = jnp.asarray(A1.astype(dt))
+    if degree == 1:                          # feats empty: J is constant
+        return lambda zeta, u: A1j
+
+    blocks, tables = poly_parent_tables(nza, degree)
+    # low-monomial index map: [x ; deg-2 block ; ... ; deg-(d-1) block]
+    pos, off = {}, 0
+    for d in range(1, degree):
+        for r, e in enumerate(blocks[d - 1]):
+            pos[tuple(int(v) for v in e)] = off + r
+        off += len(blocks[d - 1])
+    G = np.zeros((nzo * nza, off), np.float64)
+    fr = 0                                   # feats row (degree >= 2 only)
+    for d in range(2, degree + 1):
+        for e in blocks[d - 1]:
+            et = tuple(int(v) for v in e)
+            for i in range(nza):
+                if et[i] == 0:
+                    continue
+                parent = et[:i] + (et[i] - 1,) + et[i + 1:]
+                G[i::nza, pos[parent]] += A2[:, fr] * et[i]
+            fr += 1
+    Gj = jnp.asarray(G.astype(dt))
+
+    def J_fn(zeta, u):
+        x = jnp.concatenate([zeta, u])
+        low, prev = [x], x
+        for parent_idx, dim_idx in tables[: degree - 2]:
+            prev = prev[parent_idx] * x[dim_idx]
+            low.append(prev)
+        g_low = jnp.concatenate(low)
+        return A1j + (Gj @ g_low).reshape(nzo, nza)
+
+    return J_fn
+
+
 class NonlinearKmpc(_KmpcBase):
     """SQP NMPC on the nonlinear realization (or bilinear-as-NMPC).
 
@@ -643,6 +715,9 @@ class NonlinearKmpc(_KmpcBase):
 
     def __init__(self, model, scaler, cfg: MpcConfig, F_fn=None):
         super().__init__(model, scaler, cfg)
+        # analytic Jacobian of the composed F (all-poly dictionaries);
+        # None -> the jacfwd fallback in _condense_inner
+        self.J_fn = None
         if F_fn is not None:
             self.F_fn = F_fn
         elif isinstance(model, NonlinearModel):
@@ -652,9 +727,11 @@ class NonlinearKmpc(_KmpcBase):
                 # would crash in lift_loaded -- reject loudly
                 raise NotImplementedError(
                     "NMPC on loaded (nw > 0) models is not supported")
-            self.F_fn = _compose_nonlinear_F(model) \
-                if model.basis is not None \
-                else (lambda zeta, u: model.F(zeta, u))
+            if model.basis is not None:
+                self.F_fn = _compose_nonlinear_F(model)
+                self.J_fn = _compose_poly_jacobian(model)
+            else:
+                self.F_fn = lambda zeta, u: model.F(zeta, u)
         elif isinstance(model, BilinearModel):
             # bilinear-as-NMPC: F = C (A g(zeta) + Beta(g(zeta)) u)  (Kmpc.m:93)
             basis = model.basis
@@ -719,8 +796,14 @@ class NonlinearKmpc(_KmpcBase):
 
     def _condense_inner(self, Zl, Ul, zeta0, Fv=None):
         Np, nz, m = self.Np, self.nz, self.m
-        jac_z = jax.vmap(jax.jacfwd(self.F_fn, argnums=0))(Zl, Ul)   # (Np,nz,nz)
-        jac_u = jax.vmap(jax.jacfwd(self.F_fn, argnums=1))(Zl, Ul)   # (Np,nz,m)
+        if self.J_fn is not None:
+            # analytic MXU-GEMM Jacobian (see _compose_poly_jacobian); the
+            # jacfwd tangent sweeps below were the NMPC batch-scaling wall
+            J = jax.vmap(self.J_fn)(Zl, Ul)                  # (Np, nz, nz+m)
+            jac_z, jac_u = J[..., :nz], J[..., nz:]
+        else:
+            jac_z = jax.vmap(jax.jacfwd(self.F_fn, argnums=0))(Zl, Ul)
+            jac_u = jax.vmap(jax.jacfwd(self.F_fn, argnums=1))(Zl, Ul)
         if Fv is None:
             Fv = jax.vmap(self.F_fn)(Zl, Ul)                          # (Np,nz)
         cv = Fv - jnp.einsum("kij,kj->ki", jac_z, Zl) \
@@ -846,26 +929,26 @@ class NonlinearKmpc(_KmpcBase):
                                band_offset=self._band, lam0=lam_carry)
             else:
                 # factored form: the reduced Hessian is
-                # 2 ([sqrt(Q) Sy_z; sqrt(rho) I]^T [..] + diag(Rd[m:])) and
-                # the Levenberg term + u0 elimination fold into v rows
-                # (Rd/rho are diagonal, so no cross-block survives).  Keeps
-                # the SQP's inner QPs on the in-kernel-Gram Pallas route.
+                # 2 (W^T W + diag(Rd[m:] + rho)) with W = sqrt(Q) Sy_z; the
+                # Levenberg term rho||U - U_lin||^2 folds into the QP's
+                # DIAGONAL + linear q0 = -2 rho U_lin instead of
+                # materializing sqrt(rho) I least-squares rows (n fewer
+                # Gram rank-1 ops and half the W traffic in-kernel), and
+                # the u0 elimination folds into v (Rd/rho diagonal, so no
+                # cross-block survives).  Keeps the SQP's inner QPs on the
+                # in-kernel-Gram Pallas route.
                 sq = jnp.sqrt(self.Qd)
-                Wls = jnp.concatenate([
-                    sq[:, None] * Sy[:, m:],
-                    jnp.sqrt(rho) * jnp.eye(Np * m - m, dtype=Sy.dtype),
-                ], axis=0)
-                vls = jnp.concatenate([
-                    sq * (sy - ref.reshape(-1) + Sy[:, :m] @ u_prev),
-                    -jnp.sqrt(rho) * Ul.reshape(-1)[m:],
-                ])
+                Wls = sq[:, None] * Sy[:, m:]
+                vls = sq * (sy - ref.reshape(-1) + Sy[:, :m] @ u_prev)
                 Az = self.Fj[:, m:]
                 bz = self.cFj - self.Fj[:, :m] @ u_prev
                 sol = solve_qp_factored(
-                    Wls, vls, self.Rd[m:], Az, bz,
+                    Wls, vls, self.Rd[m:] + rho, Az, bz,
                     iters=self.cfg.qp_iters, x0=Ul[1:].reshape(-1),
                     backend=self.cfg.qp_backend, band_offset=self._band,
-                    lam0=lam_carry)
+                    lam0=lam_carry,
+                    q0=None if rho == 0.0
+                    else -2.0 * rho * Ul.reshape(-1)[m:])
             U_qp, ok = self._assemble_U(u_prev, sol.x), sol.ok
             if self.cfg.sqp_dual_warm:
                 lam_carry = sol.lam

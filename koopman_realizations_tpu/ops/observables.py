@@ -33,6 +33,7 @@ from koopman_realizations_tpu.config import SysidConfig
 __all__ = [
     "partitions_ones",
     "poly_exponents",
+    "poly_parent_tables",
     "KoopmanBasis",
     "build_basis",
 ]
@@ -68,6 +69,35 @@ def poly_exponents(nzeta: int, degree: int) -> np.ndarray:
 
 def _count_poly(nzeta: int, degree: int) -> int:
     return math.comb(nzeta + degree, degree) - 1
+
+
+def poly_parent_tables(nz: int, degree: int):
+    """Parent-recurrence gather tables for the degree-blocked poly lift.
+
+    Every degree-d monomial is z_i times a unique degree-(d-1) parent
+    (lowest nonzero exponent dimension); evaluating block d is then ONE
+    static gather + ONE elementwise multiply.  Returns a list over degrees
+    2..degree of (parent_idx, dim_idx) int32 arrays indexing into the
+    previous block / into z, plus the exponent blocks themselves
+    (``partitions.m`` row order, so feature layout is reference-exact).
+    """
+    blocks = [partitions_ones(d, nz) for d in range(1, degree + 1)]
+    tables = []
+    pos = {tuple(int(v) for v in e): r for r, e in enumerate(blocks[0])}
+    for d in range(2, degree + 1):
+        parent_idx = np.empty(len(blocks[d - 1]), np.int32)
+        dim_idx = np.empty(len(blocks[d - 1]), np.int32)
+        newpos = {}
+        for r, row in enumerate(blocks[d - 1]):
+            e = tuple(int(v) for v in row)
+            i = next(k for k in range(nz) if e[k] > 0)
+            parent = e[:i] + (e[i] - 1,) + e[i + 1:]
+            parent_idx[r] = pos[parent]
+            dim_idx[r] = i
+            newpos[e] = r
+        tables.append((parent_idx, dim_idx))
+        pos = newpos
+    return blocks, tables
 
 
 def _hermite_table(max_order: int, z):
@@ -179,24 +209,11 @@ class KoopmanBasis:
             # recurrence (one multiply per row + a rows-way stack) was fast
             # on TPU too but provokes an XLA:CPU compiler segfault at this
             # width.  Row order is untouched (``partitions.m`` order).
-            blocks = [partitions_ones(d, nz) for d in range(1, degree + 1)]
-            pos = {tuple(int(v) for v in e): r
-                   for r, e in enumerate(blocks[0])}
+            _, tables = poly_parent_tables(nz, degree)
             feats, prev = [], zeta
-            for d in range(2, degree + 1):
-                parent_idx = np.empty(len(blocks[d - 1]), np.int32)
-                dim_idx = np.empty(len(blocks[d - 1]), np.int32)
-                newpos = {}
-                for r, row in enumerate(blocks[d - 1]):
-                    e = tuple(int(v) for v in row)
-                    i = next(k for k in range(nz) if e[k] > 0)
-                    parent = e[:i] + (e[i] - 1,) + e[i + 1:]
-                    parent_idx[r] = pos[parent]
-                    dim_idx[r] = i
-                    newpos[e] = r
+            for parent_idx, dim_idx in tables:
                 prev = prev[parent_idx] * zeta[dim_idx]
                 feats.append(prev)
-                pos = newpos
             if not feats:                    # degree 1: no extra monomials
                 return jnp.zeros((0,), zeta.dtype)
             return jnp.concatenate(feats)

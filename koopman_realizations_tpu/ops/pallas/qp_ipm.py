@@ -116,7 +116,7 @@ def _chol_solve_lanes(L, rdiag, rhs, n):
 
 
 def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
-                shared_P,
+                shared_P, has_q0,
                 P_ref, q_ref, b_ref, x0_ref, iobj_ref, A_ref, At_ref,
                 *rest):
     """One 128-lane tile: full fixed-iteration Mehrotra predictor-corrector.
@@ -172,6 +172,11 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
             P = P + 2.0 * (W[r][:, None, :] * W[r][None, :, :])
             qv = qv + W[r] * v[r][None, :]
         qv = 2.0 * qv
+        if has_q0:
+            # optional additive linear term, ORIGINAL units (applied before
+            # the per-lane objective scaling below); follows the structure
+            # operands in ``rest``
+            qv = qv + rest[1 if band is None else 2][...]
         # per-lane objective scale, exactly as the host path: max |P|
         obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(0, 1)), 1e-8)   # (T,)
         iobj = 1.0 / obj
@@ -384,7 +389,7 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     x0t = x0.T
 
     kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor, tile,
-                             band, warm_dual, False, shared_P)
+                             band, warm_dual, False, shared_P, False)
     lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
     shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -430,11 +435,12 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
                               interpret: bool = False,
                               tol: float = 3e-3, gap_sane: float = 5e-2,
                               tile: int = FACTORED_LANE_TILE, band: int = None,
-                              lam0=None):
+                              lam0=None, q0=None):
     """Least-squares-form batched IPM: min ||W x + v||^2_2 + x^T diag(r) x
-    s.t. A x <= b, i.e. the dense-form problem with P = 2 (W^T W + diag(r))
-    and q = 2 W^T v.  W (B, p, n) and v (B, p) per-lane, r_diag (n,) shared,
-    A (mc, n) shared.  Lane-for-lane equivalent to forming P/q on the host
+    (+ q0^T x) s.t. A x <= b, i.e. the dense-form problem with
+    P = 2 (W^T W + diag(r)) and q = 2 W^T v + q0.  W (B, p, n) and v (B, p)
+    per-lane, r_diag (n,) shared, A (mc, n) shared, q0 (B, n) optional.
+    Lane-for-lane equivalent to forming P/q on the host
     and calling ``solve_qp_shared_batched`` (same equilibration/ok rules up
     to Gram summation order), but the Gram, objective scale, and
     equilibrated gradient form IN-KERNEL -- the host-side batched-small
@@ -456,6 +462,9 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
     if x0 is None:
         x0 = jnp.zeros((B, n), jnp.float32)
     x0 = jnp.asarray(x0, jnp.float32)
+    has_q0 = q0 is not None
+    if has_q0:
+        q0 = jnp.asarray(q0, jnp.float32)
     warm_dual = lam0 is not None
     if warm_dual:
         # row scaling here; the per-lane 1/obj factor is applied in-kernel
@@ -483,6 +492,8 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
         v = jnp.concatenate([v, jnp.zeros((pad, p), v.dtype)], 0)
         b_eq = jnp.concatenate([b_eq, jnp.ones((pad, mc), b.dtype)], 0)
         x0 = jnp.concatenate([x0, jnp.zeros((pad, n), x0.dtype)], 0)
+        if has_q0:
+            q0 = jnp.concatenate([q0, jnp.zeros((pad, n), jnp.float32)], 0)
         if warm_dual:
             lam0_row = jnp.concatenate(
                 [lam0_row, jnp.ones((pad, mc), jnp.float32)], 0)
@@ -495,7 +506,7 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
     rt = r_diag[None, :]                 # (1, n) shared
 
     kern = functools.partial(_ipm_kernel, n, mc, iters, slack_floor, tile,
-                             band, warm_dual, True, False)
+                             band, warm_dual, True, False, has_q0)
     lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
     shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -509,6 +520,7 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
             lane2(p), lane2(mc), lane2(n), shared(1, n),
             shared(mc, n), shared(n, mc),
             *[shared(r, c) for r, c in struct_specs],
+            *([lane2(n)] if has_q0 else []),
             *([lane2(mc)] if warm_dual else []),
         ],
         out_specs=[lane2(n), lane2(mc), lane2(mc), lane2(1)],
@@ -518,6 +530,7 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
                    jax.ShapeDtypeStruct((1, Bp), jnp.float32)],
         interpret=interpret,
     )(Wt, vt, bt, x0t, rt, A_eq, At, *structured,
+      *([q0.T] if has_q0 else []),
       *([lam0_row.T] if warm_dual else []))
 
     x = xt.T[:B]

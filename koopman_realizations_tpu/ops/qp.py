@@ -152,30 +152,32 @@ def _solve_qp(P, q, A, b, iters: int = 25, x0=None,
         return _solve_qp_impl(P, q, A, b, iters, x0, shared_A, lam0)
 
 
-def _factored_Pq(W, v, r_diag):
-    """Dense (P, q) of the least-squares objective ||W x + v||^2 + x'R x."""
+def _factored_Pq(W, v, r_diag, q0=None):
+    """Dense (P, q) of the objective ||W x + v||^2 + x'diag(r)x + q0'x."""
     P = 2.0 * (W.T @ W + jnp.diag(r_diag))
     q = 2.0 * (W.T @ v)
+    if q0 is not None:
+        q = q + q0
     return P, q
 
 
 def solve_qp_factored(W, v, r_diag, A, b, iters: int = 25, x0=None,
                       backend: str = "auto", band_offset: int = None,
-                      lam0=None) -> QPSolution:
+                      lam0=None, q0=None) -> QPSolution:
     """See ``_solve_qp_factored``; wrapper adding the opt-in
     ``KRT_QP_DEBUG_CHECKS`` validation of the ``band_offset`` promise."""
     _debug_check_band(A, band_offset)
     return _solve_qp_factored(W, v, r_diag, A, b, iters, x0, backend,
-                              band_offset, lam0)
+                              band_offset, lam0, q0)
 
 
 @partial(jax.jit,
          static_argnames=("iters", "backend", "band_offset"))
 def _solve_qp_factored(W, v, r_diag, A, b, iters: int = 25, x0=None,
                        backend: str = "auto", band_offset: int = None,
-                       lam0=None) -> QPSolution:
-    """Least-squares-form QP: min ||W x + v||_2^2 + x^T diag(r) x
-    s.t. A x <= b  (dense form P = 2 (W^T W + diag(r)), q = 2 W^T v).
+                       lam0=None, q0=None) -> QPSolution:
+    """Least-squares-form QP: min ||W x + v||_2^2 + x^T diag(r) x + q0^T x
+    s.t. A x <= b  (dense form P = 2 (W^T W + diag(r)), q = 2 W^T v + q0).
 
     The factored objective is what condensed MPC assembly naturally
     produces (W = sqrt(Q) CB, v = sqrt(Q) (CA z - Yr + ...)); keeping it
@@ -183,6 +185,11 @@ def _solve_qp_factored(W, v, r_diag, A, b, iters: int = 25, x0=None,
     of as a host-side batched-small GEMM.  A is implicitly lane-shared
     (the only case the factored kernel supports); per-lane-A callers use
     ``solve_qp``.  Semantics otherwise match ``solve_qp``.
+
+    ``q0`` (n,): optional additive linear term.  Diagonal-quadratic +
+    linear extras (e.g. the SQP's Levenberg term rho||x - x_prev||^2)
+    fold into (r_diag + rho, q0 = -2 rho x_prev) instead of materializing
+    sqrt(rho) I least-squares rows -- n fewer Gram rows per solve.
     """
     with jax.default_matmul_precision("highest"):
         use_pallas = (backend != "jax"
@@ -196,24 +203,29 @@ def _solve_qp_factored(W, v, r_diag, A, b, iters: int = 25, x0=None,
             warm_dual = lam0 is not None
             if lam0 is None:
                 lam0 = jnp.ones(b.shape, jnp.float32)
-            f = _factored_routed_solver(iters, warm, band_offset, warm_dual)
+            has_q0 = q0 is not None
+            if q0 is None:
+                q0 = jnp.zeros(W.shape[-1:], jnp.float32)
+            f = _factored_routed_solver(iters, warm, band_offset, warm_dual,
+                                        has_q0)
             x, lam, ok, gap = f(jnp.asarray(W, jnp.float32),
                                 jnp.asarray(v, jnp.float32),
                                 jnp.asarray(r_diag, jnp.float32),
                                 jnp.asarray(A, jnp.float32),
                                 jnp.asarray(b, jnp.float32),
                                 jnp.asarray(x0, jnp.float32),
-                                jnp.asarray(lam0, jnp.float32))
+                                jnp.asarray(lam0, jnp.float32),
+                                jnp.asarray(q0, jnp.float32))
             return QPSolution(x=x, lam=lam, ok=ok, gap=gap)
         P, q = _factored_Pq(jnp.asarray(W), jnp.asarray(v),
-                            jnp.asarray(r_diag))
+                            jnp.asarray(r_diag), q0)
         return _solve_qp_impl(P, q, A, b, iters, x0, True, lam0)
 
 
 def _factored_routed_solver(iters: int, warm: bool, band: int,
-                            warm_dual: bool):
+                            warm_dual: bool, has_q0: bool = False):
     """custom_vmap'd factored solver (see ``_pallas_routed_solver``)."""
-    key = ("factored", iters, warm, band, warm_dual)
+    key = ("factored", iters, warm, band, warm_dual, has_q0)
     f = _ROUTED_CACHE.get(key)
     if f is not None:
         return f
@@ -223,30 +235,31 @@ def _factored_routed_solver(iters: int, warm: bool, band: int,
         solve_qp_factored_batched,
     )
 
-    def _pure(W, v, r_diag, A, b, x0, lam0):
-        P, q = _factored_Pq(W, v, r_diag)
+    def _pure(W, v, r_diag, A, b, x0, lam0, q0):
+        P, q = _factored_Pq(W, v, r_diag, q0 if has_q0 else None)
         sol = _solve_qp_impl(P, q, A, b, iters, x0 if warm else None, True,
                              lam0 if warm_dual else None)
         return sol.x, sol.lam, sol.ok, sol.gap
 
     @custom_vmap
-    def solve(W, v, r_diag, A, b, x0, lam0):
-        return _pure(W, v, r_diag, A, b, x0, lam0)
+    def solve(W, v, r_diag, A, b, x0, lam0, q0):
+        return _pure(W, v, r_diag, A, b, x0, lam0, q0)
 
     @solve.def_vmap
-    def _rule(axis_size, in_batched, W, v, r_diag, A, b, x0, lam0):
-        Wb, vb, rb, Ab, bb, xb, lb = in_batched
+    def _rule(axis_size, in_batched, W, v, r_diag, A, b, x0, lam0, q0):
+        Wb, vb, rb, Ab, bb, xb, lb, q0b = in_batched
         if Ab or rb:
             out = jax.vmap(_pure, in_axes=tuple(
                 0 if bi else None for bi in in_batched))(
-                    W, v, r_diag, A, b, x0, lam0)
+                    W, v, r_diag, A, b, x0, lam0, q0)
             return out, (True, True, True, True)
         bc = lambda val, vib: val if vib else \
             jnp.broadcast_to(val[None], (axis_size,) + val.shape)
         x, lam, ok, gap = solve_qp_factored_batched(
             bc(W, Wb), bc(v, vb), r_diag, A, bc(b, bb),
             x0=bc(x0, xb) if warm else None, iters=iters, band=band,
-            lam0=bc(lam0, lb) if warm_dual else None)
+            lam0=bc(lam0, lb) if warm_dual else None,
+            q0=bc(q0, q0b) if has_q0 else None)
         return (x, lam, ok, gap), (True, True, True, True)
 
     _ROUTED_CACHE[key] = solve

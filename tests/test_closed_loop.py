@@ -311,6 +311,30 @@ def test_stale_condense_identity(arm_dataset, blockM):
     assert Sz2 is Sz
 
 
+def test_analytic_poly_jacobian_matches_jacfwd(arm_dataset):
+    """The analytic MXU-GEMM Jacobian of the composed F (the NMPC batch-
+    scaling fix: d(x^e)/dx_i = e_i x^(e-delta_i) makes J linear in the
+    degree <= d-1 monomials) must equal the jacfwd of the same F to
+    roundoff -- it is a pure host-side reassociation of the same algebra."""
+    import jax
+    import jax.numpy as jnp
+
+    ks = train(arm_dataset, "nonlinear")
+    mpc = make_kmpc(ks.model, ks.scaler, example_control_cfg())
+    assert mpc.J_fn is not None, "all-poly dictionary must take the analytic path"
+    rng = np.random.default_rng(1)
+    dt = np.asarray(ks.model.W).dtype
+    tol = 1e-12 if dt == np.float64 else 1e-5
+    for _ in range(5):
+        z = jnp.asarray(rng.normal(0, 0.5, mpc.nz).astype(dt))
+        u = jnp.asarray(rng.normal(0, 0.5, mpc.m).astype(dt))
+        Jref = jnp.concatenate([jax.jacfwd(mpc.F_fn, 0)(z, u),
+                                jax.jacfwd(mpc.F_fn, 1)(z, u)], axis=1)
+        Jan = mpc.J_fn(z, u)
+        scale = max(float(jnp.max(jnp.abs(Jref))), 1e-30)
+        assert float(jnp.max(jnp.abs(Jan - Jref))) / scale < tol
+
+
 def test_timed_mode_matches_fused(arm_dataset, blockM):
     """``run_trial_mpc_timed`` (per-step tic/toc, ``Ksim.m:205-217``) must
     reproduce the fused scan's trajectory exactly -- same body, different

@@ -6,8 +6,16 @@ SQP path (e.g. the constraint-stack routing that once silently knocked its
 QPs off the Pallas route) would not fail CI.  This is the same workload --
 full 301-step blockM, spread initial conditions, production bench knobs
 (substeps=3, newton_iters=2, jac_mode='step') -- at B=64 on the virtual CPU
-mesh.  Calibration at B=64: err_mean 0.0290, worst lane 0.0784 (B=2048 TPU:
-0.0310 / 0.089); golden single-lane K-NMPC is 0.0192 (``Ksim.m`` results).
+mesh.  Calibration at B=64: err_mean 0.029-0.031, worst lane ~0.078
+(B=2048 TPU: ~0.031 / 0.084); golden single-lane K-NMPC is 0.0192
+(``Ksim.m`` results).
+
+Measured chaos floor (round 3): perturbing X0 by 1e-6 on an UNCHANGED
+controller moves err_mean by up to ~0.003 at B=64 (per-lane mean |delta|
+0.0065, max 0.049) -- the 301-step closed loop is chaotic at f32, so this
+gate's margin (0.033) absorbs reordering-level numerical changes while
+still catching real regressions (a broken QP route shifts err by >10x the
+floor or kills lanes).
 """
 
 import numpy as np

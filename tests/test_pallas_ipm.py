@@ -243,6 +243,41 @@ def test_kernel_factored_matches_dense():
     assert np.median(dl) < 1e-3 * max(1.0, np.abs(np.asarray(lam_d)).max())
 
 
+def test_kernel_factored_q0_matches_dense():
+    """The additive linear term q0 (the SQP's folded Levenberg gradient)
+    must reproduce the dense-form solve with q = 2 W^T v + q0."""
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_factored_batched,
+    )
+
+    B, p, n, m = 64, 10, 12, 3
+    rng = np.random.default_rng(23)
+    W = rng.normal(size=(B, p, n)).astype(np.float32)
+    v = rng.normal(size=(B, p)).astype(np.float32)
+    rho = 0.05
+    r = (np.abs(rng.normal(size=n)) * 0.1 + rho).astype(np.float32)
+    q0 = (-2.0 * rho * rng.normal(size=(B, n))).astype(np.float32)
+    A_np, cns = _box_slope_stack(n, m)
+    b = np.tile(cns[None], (B, 1))
+    P = 2.0 * (np.einsum("bpi,bpj->bij", W, W) + np.eye(n) * r)
+    q = 2.0 * np.einsum("bpi,bp->bi", W, v) + q0
+    x0 = jnp.zeros((B, n), jnp.float32)
+
+    x_d, _, ok_d, _ = solve_qp_shared_batched(
+        jnp.asarray(P.astype(np.float32)), jnp.asarray(q.astype(np.float32)),
+        jnp.asarray(A_np), jnp.asarray(b), x0=x0, iters=16, band=m,
+        interpret=True)
+    x_f, _, ok_f, _ = solve_qp_factored_batched(
+        jnp.asarray(W), jnp.asarray(v), jnp.asarray(r), jnp.asarray(A_np),
+        jnp.asarray(b), x0=x0, iters=16, band=m, q0=jnp.asarray(q0),
+        interpret=True)
+    okm = np.asarray(ok_d) & np.asarray(ok_f)
+    assert okm.mean() > 0.9
+    dx = np.abs(np.asarray(x_f) - np.asarray(x_d))[okm]
+    assert np.median(dx) < 2e-5
+    assert dx.max() < 5e-3
+
+
 def test_kernel_shared_P_matches_batched_P():
     """Lane-shared Hessian path == per-lane path when all lanes share P."""
     B, n, mc = 96, 12, 30
