@@ -24,6 +24,8 @@ TPU-first mechanics shared by all three:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,7 +36,11 @@ from koopman_realizations_tpu.models.koopman import (
     LinearModel,
     NonlinearModel,
 )
-from koopman_realizations_tpu.ops.qp import solve_qp, solve_qp_factored
+from koopman_realizations_tpu.ops.qp import (
+    solve_qp,
+    solve_qp_bilinear,
+    solve_qp_factored,
+)
 
 
 # --------------------------------------------------------------------------
@@ -364,6 +370,16 @@ def bilinear_consts(mpc: "BilinearKmpc") -> dict:
         "Fj": mpc.Fj, "cFj": mpc.cFj,
         "Qd": mpc.Qd, "Rd": mpc.Rd,
     }
+    if os.environ.get("KMPC_FUSED_ASSEMBLY"):
+        # Opt-in: route the first bilinear pass through the assembly-fused
+        # kernel (``ops.qp.solve_qp_bilinear``).  OFF by default: the
+        # back-to-back full-trajectory A/B at bench shapes (B=16384,
+        # qp_iters=2) measured the fused path 22% SLOWER (8.7M vs 11.1M
+        # steps/s) -- the in-VMEM PGW@z assembly GEMM + (p*n,T)->(p,n,T)
+        # relayout costs more than the ~5% HBM round-trip it saves; XLA's
+        # batched assembly GEMM over all B lanes is simply better MXU work.
+        c.update({"PGW": mpc.PGW, "PG0": mpc.PG0,
+                  "PAsq": mpc.PAsq, "sqq": mpc.sqq})
     if mpc._sb_lo is not None:
         c["sb_lo"] = mpc._sb_lo
         c["sb_hi"] = mpc._sb_hi
@@ -467,6 +483,17 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
             sol = solve_qp(Pz, fz, Az, bz, iters=qp_iters,
                            x0=x0 if warm else None, shared_A=False,
                            backend=backend, band_offset=band, lam0=lam_init)
+        elif it == 0 and "PGW" in c and c["cFj"].shape[-1] > 0:
+            # shared-Beta first pass: (W, v, b) are linear in (z, u_prev)
+            # against the lane-shared PGW/PG0/PAsq generators, so the
+            # whole QP assembly fuses into the Pallas kernel prologue
+            # (solve_qp_bilinear routes per batching; same math as the
+            # qp_data branch below)
+            sol = solve_qp_bilinear(
+                z, u_prev, Yr, c["PGW"], c["PG0"], c["PAsq"], c["sqq"],
+                c["Rd"][m:], c["Fj"][:, m:], c["cFj"], c["Fj"][:, :m],
+                iters=qp_iters, x0=x0 if warm else None, backend=backend,
+                band_offset=band, lam0=lam_init)
         else:
             W, v, _, _ = qp_data(zhor, shared=(it == 0))
             Az = c["Fj"][:, m:]
@@ -554,6 +581,27 @@ class BilinearKmpc(_KmpcBase):
 
         self.PG = fuse(self.PAt)
         self.EG = fuse(self.EAt) if self._sb_lo is not None else None
+        # fused-assembly kernel generators (ops.pallas.qp_ipm._bilin_kernel):
+        # sqrt(Q)-scaled views of the same f64 contraction, laid out so the
+        # kernel's W rows are static (n, T) slices and the CB0 u_prev
+        # contraction is p-row blocks.  Shipping (z, u_prev) instead of the
+        # assembled (W, v, b) cuts the QP kernel's per-lane input ~5x.
+        p_rows = (Np + 1) * self.nproj
+        ncols = Np * self.m
+        G64 = np.einsum("ijrb,bmq->irjmq",
+                        np.asarray(self.PAt, np.float64),
+                        Bm64).reshape(p_rows, ncols, NL)
+        sq64 = np.sqrt(np.asarray(self.q_diag, np.float64))
+        Gs = sq64[:, None, None] * G64
+        self.PGW = jnp.asarray(
+            Gs[:, self.m:, :].reshape(-1, NL).astype(dt))
+        self.PG0 = jnp.asarray(np.concatenate(
+            [Gs[:, j, :] for j in range(self.m)], axis=0).astype(dt))
+        self.PAsq = jnp.asarray(
+            (sq64[:, None]
+             * np.asarray(self.PA, np.float64).reshape(p_rows, NL))
+            .astype(dt))
+        self.sqq = jnp.asarray(sq64.astype(dt))
         self._extend_dual_shift(self.n_con)
 
     def consts(self) -> dict:

@@ -115,6 +115,96 @@ def _chol_solve_lanes(L, rdiag, rhs, n):
     return jnp.stack(xs, axis=0)
 
 
+def _make_form_AtDA(band, n, T, rest, eye, rowi, coli):
+    """Newton-matrix formation A^T D A closure (dense or banded; see
+    ``_ipm_kernel``).  ``rest[0]``/``rest[1]`` carry the precomputed
+    structure operands."""
+    if band is None:
+        OT = rest[0][...]
+
+        def form_AtDA(D):
+            return _dot(OT, D).reshape(n, n, T)
+    else:
+        Wd = rest[0][...]
+        Wo = rest[1][...]
+        mask_u = (coli == rowi + band).astype(jnp.float32)[..., None]
+        mask_l = (rowi == coli + band).astype(jnp.float32)[..., None]
+
+        def form_AtDA(D):
+            dg = _dot(Wd, D)                           # (n, T) diagonal
+            M = eye[..., None] * dg[:, None, :]
+            if band > 0:
+                og = _dot(Wo, D)                       # (n - band, T)
+                pad = jnp.zeros((n - og.shape[0], T), og.dtype)
+                ogp = jnp.concatenate([og, pad], axis=0)
+                M = M + mask_u * ogp[:, None, :] + mask_l * ogp[None, :, :]
+            return M
+    return form_AtDA
+
+
+def _mehrotra_loop(n, mc, iters, slack_floor, Pr, q, b, A, At, form_AtDA,
+                   x0, lam0):
+    """The fixed-iteration Mehrotra predictor-corrector on VMEM values.
+
+    Shared by every kernel variant; semantics match
+    ``ops.qp._solve_qp_impl`` (same step rule, mu floor, freeze-on-
+    converged).  Pr is the regularized, objective-scaled Hessian
+    ((n, n, T), or (n, n, 1) broadcasting for the lane-shared case);
+    q (n, T) equilibrated; b (mc, T); A/At the row-equilibrated shared
+    constraint matrix; x0/lam0 the (already floored/damped) starts.
+    Returns (x, s, lam).
+    """
+    mu_floor = jnp.float32(1e-8)
+
+    def matvec_P(v):                                   # (n, T)
+        acc = Pr[:, 0, :] * v[0][None, :]
+        for j in range(1, n):
+            acc = acc + Pr[:, j, :] * v[j][None, :]
+        return acc
+
+    s0 = jnp.maximum(b - _dot(A, x0), jnp.float32(slack_floor))
+
+    def max_step(v, dv):
+        ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+        return jnp.minimum(1.0, 0.99 * jnp.min(ratio, axis=0))   # (T,)
+
+    def body(_, carry):
+        x, s, lam = carry
+        mu = jnp.sum(s * lam, axis=0) / mc                       # (T,)
+        r_p = _dot(A, x) + s - b                                 # (mc, T)
+        r_d = matvec_P(x) + q + _dot(At, lam)                    # (n, T)
+        active = (mu > mu_floor) | (jnp.max(jnp.abs(r_p), axis=0) > mu_floor)
+
+        # one factor per iteration, shared by predictor + corrector
+        D = jnp.clip(lam / s, 1e-14, 1e14)                       # (mc, T)
+        M = Pr + form_AtDA(D)
+        L, rdiag = _chol_lanes(M, n)
+
+        def direction(r_slam):
+            rhs = -r_d - _dot(At, (-r_slam + lam * r_p) / s)
+            dx = _chol_solve_lanes(L, rdiag, rhs, n)
+            ds = -r_p - _dot(A, dx)
+            dlam = (-r_slam - lam * ds) / s
+            return dx, ds, dlam
+
+        dx_a, ds_a, dlam_a = direction(s * lam)
+        alpha_a = jnp.minimum(max_step(s, ds_a), max_step(lam, dlam_a))
+        mu_aff = jnp.sum((s + alpha_a[None] * ds_a)
+                         * (lam + alpha_a[None] * dlam_a), axis=0) / mc
+        sigma = (mu_aff / (mu + 1e-30)) ** 3
+
+        dx, ds, dlam = direction(s * lam + ds_a * dlam_a - (sigma * mu)[None])
+        alpha = jnp.where(active,
+                          jnp.minimum(max_step(s, ds), max_step(lam, dlam)),
+                          0.0)[None]
+        step = lambda v, dv: jnp.where(jnp.isfinite(dv), v + alpha * dv, v)
+        return step(x, dx), step(s, ds), step(lam, dlam)
+
+    # NOTE: unrolling this loop for small iters measured no gain (Mosaic
+    # does not exploit cross-iteration scheduling here)
+    return jax.lax.fori_loop(0, iters, body, (x0, s0, lam0))
+
+
 def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
                 shared_P, has_q0,
                 P_ref, q_ref, b_ref, x0_ref, iobj_ref, A_ref, At_ref,
@@ -152,7 +242,6 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
     """
     T = tile
     reg = jnp.float32(1e-7)
-    mu_floor = jnp.float32(1e-8)
 
     rowi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     coli = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -198,35 +287,9 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
     b = b_ref[...]
     A = A_ref[...]
     At = At_ref[...]
-    if band is None:
-        OT = rest[0][...]
-
-        def form_AtDA(D):
-            return _dot(OT, D).reshape(n, n, T)
-    else:
-        Wd = rest[0][...]
-        Wo = rest[1][...]
-        mask_u = (coli == rowi + band).astype(jnp.float32)[..., None]
-        mask_l = (rowi == coli + band).astype(jnp.float32)[..., None]
-
-        def form_AtDA(D):
-            dg = _dot(Wd, D)                           # (n, T) diagonal
-            M = eye[..., None] * dg[:, None, :]
-            if band > 0:
-                og = _dot(Wo, D)                       # (n - band, T)
-                pad = jnp.zeros((n - og.shape[0], T), og.dtype)
-                ogp = jnp.concatenate([og, pad], axis=0)
-                M = M + mask_u * ogp[:, None, :] + mask_l * ogp[None, :, :]
-            return M
-
-    def matvec_P(v):                                   # (n, T)
-        acc = Pr[:, 0, :] * v[0][None, :]
-        for j in range(1, n):
-            acc = acc + Pr[:, j, :] * v[j][None, :]
-        return acc
+    form_AtDA = _make_form_AtDA(band, n, T, rest, eye, rowi, coli)
 
     x0 = x0_ref[...]
-    s0 = jnp.maximum(b - _dot(A, x0), jnp.float32(slack_floor))
     if warm_dual:
         # unit convention differs by mode: the NON-factored wrapper
         # pre-applies BOTH row and objective scaling on the host
@@ -242,45 +305,8 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
     else:
         lam0 = jnp.ones((mc, T), jnp.float32)
 
-    def max_step(v, dv):
-        ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
-        return jnp.minimum(1.0, 0.99 * jnp.min(ratio, axis=0))   # (T,)
-
-    def body(_, carry):
-        x, s, lam = carry
-        mu = jnp.sum(s * lam, axis=0) / mc                       # (T,)
-        r_p = _dot(A, x) + s - b                                 # (mc, T)
-        r_d = matvec_P(x) + q + _dot(At, lam)                    # (n, T)
-        active = (mu > mu_floor) | (jnp.max(jnp.abs(r_p), axis=0) > mu_floor)
-
-        # one factor per iteration, shared by predictor + corrector
-        D = jnp.clip(lam / s, 1e-14, 1e14)                       # (mc, T)
-        M = Pr + form_AtDA(D)
-        L, rdiag = _chol_lanes(M, n)
-
-        def direction(r_slam):
-            rhs = -r_d - _dot(At, (-r_slam + lam * r_p) / s)
-            dx = _chol_solve_lanes(L, rdiag, rhs, n)
-            ds = -r_p - _dot(A, dx)
-            dlam = (-r_slam - lam * ds) / s
-            return dx, ds, dlam
-
-        dx_a, ds_a, dlam_a = direction(s * lam)
-        alpha_a = jnp.minimum(max_step(s, ds_a), max_step(lam, dlam_a))
-        mu_aff = jnp.sum((s + alpha_a[None] * ds_a)
-                         * (lam + alpha_a[None] * dlam_a), axis=0) / mc
-        sigma = (mu_aff / (mu + 1e-30)) ** 3
-
-        dx, ds, dlam = direction(s * lam + ds_a * dlam_a - (sigma * mu)[None])
-        alpha = jnp.where(active,
-                          jnp.minimum(max_step(s, ds), max_step(lam, dlam)),
-                          0.0)[None]
-        step = lambda v, dv: jnp.where(jnp.isfinite(dv), v + alpha * dv, v)
-        return step(x, dx), step(s, ds), step(lam, dlam)
-
-    # NOTE: unrolling this loop for small iters measured no gain (Mosaic
-    # does not exploit cross-iteration scheduling here)
-    x, s, lam = jax.lax.fori_loop(0, iters, body, (x0, s0, lam0))
+    x, s, lam = _mehrotra_loop(n, mc, iters, slack_floor, Pr, q, b, A, At,
+                               form_AtDA, x0, lam0)
     x_ref[...] = x
     s_ref[...] = s
     lam_ref[...] = lam
@@ -544,6 +570,205 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
         finite = jnp.all(jnp.isfinite(x), axis=1)
         ok = finite & (gap < gap_sane) \
             & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b_eq[:B]), axis=1), 1.0))
+        x = jnp.where(finite[:, None], x, jnp.nan)
+        lam_orig = lam * obj[:, None] / row[None, :]
+    return x, lam_orig, ok, gap
+
+
+def _bilin_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p, m,
+                  z_ref, up_ref, x0_ref, sqYr_ref, rdiag_ref,
+                  PGW_ref, PG0_ref, PAsq_ref, cFr_ref, F0r_ref,
+                  A_ref, At_ref, *rest):
+    """Fused bilinear-MPC tile: QP ASSEMBLY + the full interior point.
+
+    The factored kernel still ships a per-lane W (p, n) + v (p) + b (mc)
+    from the XLA assembly; but for the iters=1 shared-Beta bilinear
+    controller those are all LINEAR in the lane's lifted state z (NL) and
+    previous input u_prev (m) against lane-SHARED constants
+    (``BilinearKmpc.PG``-derived).  This kernel takes (z, u_prev, x0,
+    lam0) per lane -- ~5x less HBM input traffic at bench shapes -- and
+    assembles in VMEM:
+
+        W  = [sq * CB[:, m:]]        = unflatten(PGW @ z)     (MXU)
+        v  = sq*(CA z - Yr + CB[:, :m] u_prev)
+           = PAsq @ z - sqYr + sum_j CB0[:, j] u_prev[j]
+        b  = (cF - F[:, :m] u_prev) / row                     (pre-divided)
+
+    then proceeds exactly as the factored kernel (in-kernel Gram,
+    objective scale, Mehrotra loop).  Shared operands are pre-scaled on
+    the host: PGW/PG0/PAsq carry the sqrt(Q) row scaling, cFr/F0r the
+    constraint row equilibration.  PG0 is laid out as m blocks of p rows
+    (block j = CB0[:, j] generator) so the u_prev contraction is p-row
+    slices, not strided gathers.
+    """
+    T = tile
+    reg = jnp.float32(1e-7)
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (rowi == coli).astype(jnp.float32)
+
+    x_ref, s_ref, lam_ref, obj_ref = rest[-4:]
+    z = z_ref[...]                                     # (NL, T)
+    up = up_ref[...]                                   # (m, T)
+
+    # ---- in-VMEM assembly -------------------------------------------------
+    Wf = _dot(PGW_ref[...], z)                         # (p*n, T)
+    CB0 = _dot(PG0_ref[...], z)                        # (m*p, T)
+    v = _dot(PAsq_ref[...], z) - sqYr_ref[...]         # (p, T) - (p, 1)
+    for j in range(m):
+        v = v + CB0[j * p:(j + 1) * p, :] * up[j][None, :]
+    b = jnp.broadcast_to(cFr_ref[...], (mc, T))
+    F0r = F0r_ref[...]                                 # (mc, m)
+    for j in range(m):
+        b = b - F0r[:, j][:, None] * up[j][None, :]
+
+    # ---- factored Gram + objective scale (as the factored kernel) ----------
+    rdiag_obj = rdiag_ref[0, :]                        # (n,) shared
+    P = (eye * (2.0 * rdiag_obj)[None, :])[..., None]
+    qv = jnp.zeros((n, T), jnp.float32)
+    for r in range(p):
+        Wr = Wf[r * n:(r + 1) * n, :]                  # (n, T)
+        P = P + 2.0 * (Wr[:, None, :] * Wr[None, :, :])
+        qv = qv + Wr * v[r][None, :]
+    qv = 2.0 * qv
+    obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(0, 1)), 1e-8)   # (T,)
+    iobj = 1.0 / obj
+    obj_ref[...] = obj[None, :]
+    Pr = P * iobj[None, None, :] + reg * eye[..., None]
+    q = qv * iobj[None, :]
+
+    A = A_ref[...]
+    At = At_ref[...]
+    form_AtDA = _make_form_AtDA(band, n, T, rest, eye, rowi, coli)
+
+    x0 = x0_ref[...]
+    if warm_dual:
+        # row scaling host-applied; iobj known only now (see _ipm_kernel)
+        lam0 = jnp.sqrt(jnp.clip(rest[-5][...] * iobj[None, :], 1e-4, 1e4))
+    else:
+        lam0 = jnp.ones((mc, T), jnp.float32)
+
+    x, s, lam = _mehrotra_loop(n, mc, iters, slack_floor, Pr, q, b, A, At,
+                               form_AtDA, x0, lam0)
+    x_ref[...] = x
+    s_ref[...] = s
+    lam_ref[...] = lam
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "interpret", "tol", "gap_sane",
+                                    "tile", "band"))
+def solve_qp_bilinear_batched(z, u_prev, sqYr, PGW, PG0, PAsq, r_diag,
+                              A, cF, F0, x0=None, iters: int = 10,
+                              interpret: bool = False,
+                              tol: float = 3e-3, gap_sane: float = 5e-2,
+                              tile: int = FACTORED_LANE_TILE,
+                              band: int = None, lam0=None):
+    """Fused bilinear-MPC batched IPM (see ``_bilin_kernel``).
+
+    Per-lane: z (B, NL) lifted state, u_prev (B, m), x0/lam0 warm starts.
+    Lane-shared: sqYr (p,) = sqrt(q) * stacked reference window (traced per
+    closed-loop step), PGW (p*n, NL) / PG0 (m*p, NL) / PAsq (p, NL) the
+    sq-scaled assembly generators (``BilinearKmpc`` constants), r_diag (n,),
+    A (mc, n) the reduced constraint rows, cF (mc,), F0 (mc, m) with
+    b = cF - F0 @ u_prev.  Lane-for-lane equivalent to assembling
+    (W, v, b) in XLA and calling ``solve_qp_factored_batched``.
+    """
+    z = jnp.asarray(z, jnp.float32)
+    u_prev = jnp.asarray(u_prev, jnp.float32)
+    A = jnp.asarray(A, jnp.float32)
+    B = z.shape[0]
+    n = A.shape[1]
+    mc = A.shape[0]
+    p = PAsq.shape[0]
+    m = u_prev.shape[1]
+
+    row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)        # (mc,)
+    A_eq = A / row[:, None]
+    cFr = jnp.asarray(cF, jnp.float32) / row
+    F0r = jnp.asarray(F0, jnp.float32) / row[:, None]
+
+    slack_floor = 1.0 if x0 is None else 1e-2
+    if x0 is None:
+        x0 = jnp.zeros((B, n), jnp.float32)
+    x0 = jnp.asarray(x0, jnp.float32)
+    warm_dual = lam0 is not None
+    if warm_dual:
+        lam0_row = jnp.asarray(lam0, jnp.float32) * row[None, :]
+
+    At = A_eq.T
+    if band is None:
+        structured = (jnp.einsum("ci,cj->ijc", A_eq, A_eq).reshape(n * n, mc),)
+        struct_specs = [(n * n, mc)]
+    else:
+        Wd = (A_eq * A_eq).T
+        if band > 0:
+            Wo = (A_eq[:, :n - band] * A_eq[:, band:]).T
+        else:
+            Wo = jnp.zeros((1, mc), jnp.float32)
+        structured = (Wd, Wo)
+        struct_specs = [(n, mc), (Wo.shape[0], mc)]
+
+    pad = (-B) % tile
+    if pad:
+        # padded lanes solve a zero-state instance (W, v, b all finite:
+        # b = cF - F0 @ 0 = cF, feasible for the MPC box rows) and are
+        # dropped on return
+        z = jnp.concatenate([z, jnp.zeros((pad,) + z.shape[1:], z.dtype)], 0)
+        u_prev = jnp.concatenate(
+            [u_prev, jnp.zeros((pad, m), u_prev.dtype)], 0)
+        x0 = jnp.concatenate([x0, jnp.zeros((pad, n), x0.dtype)], 0)
+        if warm_dual:
+            lam0_row = jnp.concatenate(
+                [lam0_row, jnp.ones((pad, mc), jnp.float32)], 0)
+    Bp = z.shape[0]
+    NL = z.shape[1]
+
+    kern = functools.partial(_bilin_kernel, n, mc, iters, slack_floor, tile,
+                             band, warm_dual, p, m)
+    lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    xt, st, lamt, objt = pl.pallas_call(
+        kern,
+        grid=(Bp // tile,),
+        in_specs=[
+            lane2(NL), lane2(m), lane2(n),
+            shared(p, 1), shared(1, n),
+            shared(p * n, NL), shared(m * p, NL), shared(p, NL),
+            shared(mc, 1), shared(mc, m),
+            shared(mc, n), shared(n, mc),
+            *[shared(r, c) for r, c in struct_specs],
+            *([lane2(mc)] if warm_dual else []),
+        ],
+        out_specs=[lane2(n), lane2(mc), lane2(mc), lane2(1)],
+        out_shape=[jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Bp), jnp.float32)],
+        interpret=interpret,
+    )(z.T, u_prev.T, x0.T,
+      jnp.asarray(sqYr, jnp.float32)[:, None], jnp.asarray(r_diag,
+                                                           jnp.float32)[None],
+      jnp.asarray(PGW, jnp.float32), jnp.asarray(PG0, jnp.float32),
+      jnp.asarray(PAsq, jnp.float32), cFr[:, None], F0r,
+      A_eq, At, *structured,
+      *([lam0_row.T] if warm_dual else []))
+
+    x = xt.T[:B]
+    s = st.T[:B]
+    lam = lamt.T[:B]
+    obj = objt[0, :B]
+
+    with jax.default_matmul_precision("highest"):
+        b_eq = cFr[None, :] - jnp.asarray(u_prev[:B], jnp.float32) @ F0r.T
+        gap = jnp.sum(s * lam, axis=1) / mc
+        r_p = jnp.max(jnp.maximum(x @ A_eq.T - b_eq, 0.0), axis=1)
+        finite = jnp.all(jnp.isfinite(x), axis=1)
+        ok = finite & (gap < gap_sane) \
+            & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b_eq), axis=1), 1.0))
         x = jnp.where(finite[:, None], x, jnp.nan)
         lam_orig = lam * obj[:, None] / row[None, :]
     return x, lam_orig, ok, gap

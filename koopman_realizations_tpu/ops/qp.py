@@ -269,6 +269,147 @@ def _factored_routed_solver(iters: int, warm: bool, band: int,
 _ROUTED_CACHE = {}
 
 
+def _bilin_assemble(z, u_prev, Yr, PGW, PG0, PAsq, sq, cF, F0):
+    """XLA-side (W, v, b) assembly of the fused-bilinear QP -- the exact
+    computation ``_bilin_kernel`` performs in VMEM, for the pure path."""
+    p = PAsq.shape[0]
+    n = PGW.shape[0] // p
+    m = u_prev.shape[-1]
+    W = (PGW @ z).reshape(p, n)
+    CB0 = (PG0 @ z).reshape(m, p).T
+    v = PAsq @ z - sq * Yr + CB0 @ u_prev
+    b = cF - F0 @ u_prev
+    return W, v, b
+
+
+def solve_qp_bilinear(z, u_prev, Yr, PGW, PG0, PAsq, sq, r_diag, A, cF, F0,
+                      iters: int = 25, x0=None, backend: str = "auto",
+                      band_offset: int = None, lam0=None) -> QPSolution:
+    """Fused bilinear-MPC solve: the QP ASSEMBLY runs inside the Pallas
+    kernel when batched (``ops.pallas.qp_ipm.solve_qp_bilinear_batched``).
+
+    For the iters=1 shared-Beta bilinear controller, (W, v, b) of the
+    factored QP are linear in the lane's lifted state z and previous input
+    u_prev against lane-shared generators (``BilinearKmpc.PGW/PG0/PAsq``),
+    so shipping (z, u_prev) to the kernel replaces the per-lane
+    (W, v, b) HBM round trip (~5x less kernel input traffic at bench
+    shapes).  Unbatched / non-TPU / per-candidate-const calls fall back to
+    assembling in XLA; per-lane ``Yr`` (multi-ref batches) assembles in
+    XLA but still solves on the factored kernel.  Semantics are
+    lane-for-lane those of assembling (W, v, b) and calling
+    ``solve_qp_factored``.
+    """
+    _debug_check_band(A, band_offset)
+    return _solve_qp_bilinear(z, u_prev, Yr, PGW, PG0, PAsq, sq, r_diag, A,
+                              cF, F0, iters, x0, backend, band_offset, lam0)
+
+
+@partial(jax.jit,
+         static_argnames=("iters", "backend", "band_offset"))
+def _solve_qp_bilinear(z, u_prev, Yr, PGW, PG0, PAsq, sq, r_diag, A, cF, F0,
+                       iters: int = 25, x0=None, backend: str = "auto",
+                       band_offset: int = None, lam0=None) -> QPSolution:
+    with jax.default_matmul_precision("highest"):
+        use_pallas = (backend != "jax"
+                      and jnp.asarray(cF).shape[-1] > 0
+                      and jnp.asarray(z).dtype == jnp.float32
+                      and jax.default_backend() in ("tpu", "axon"))
+        if not use_pallas:
+            W, v, b = _bilin_assemble(z, u_prev, Yr, PGW, PG0, PAsq, sq,
+                                      cF, F0)
+            P, q = _factored_Pq(W, v, r_diag)
+            return _solve_qp_impl(P, q, A, b, iters, x0, True, lam0)
+        warm = x0 is not None
+        if x0 is None:
+            x0 = jnp.zeros(A.shape[-1:], jnp.float32)
+        warm_dual = lam0 is not None
+        if lam0 is None:
+            lam0 = jnp.ones(cF.shape, jnp.float32)
+        f = _bilinear_routed_solver(iters, warm, band_offset, warm_dual)
+        x, lam, ok, gap = f(jnp.asarray(z, jnp.float32),
+                            jnp.asarray(u_prev, jnp.float32),
+                            jnp.asarray(Yr, jnp.float32),
+                            jnp.asarray(PGW, jnp.float32),
+                            jnp.asarray(PG0, jnp.float32),
+                            jnp.asarray(PAsq, jnp.float32),
+                            jnp.asarray(sq, jnp.float32),
+                            jnp.asarray(r_diag, jnp.float32),
+                            jnp.asarray(A, jnp.float32),
+                            jnp.asarray(cF, jnp.float32),
+                            jnp.asarray(F0, jnp.float32),
+                            jnp.asarray(x0, jnp.float32),
+                            jnp.asarray(lam0, jnp.float32))
+        return QPSolution(x=x, lam=lam, ok=ok, gap=gap)
+
+
+def _bilinear_routed_solver(iters: int, warm: bool, band: int,
+                            warm_dual: bool):
+    """custom_vmap'd fused-bilinear solver: batched (z, u_prev) with shared
+    generators hits the assembly-fused kernel; a batched Yr (multi-ref)
+    assembles per-lane in XLA and rides the factored kernel; batched
+    generators (candidate-model axes) fall back to plain vmap."""
+    key = ("bilinear", iters, warm, band, warm_dual)
+    f = _ROUTED_CACHE.get(key)
+    if f is not None:
+        return f
+    from jax.custom_batching import custom_vmap
+
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_bilinear_batched,
+    )
+
+    def _pure(z, u_prev, Yr, PGW, PG0, PAsq, sq, r_diag, A, cF, F0,
+              x0, lam0):
+        W, v, b = _bilin_assemble(z, u_prev, Yr, PGW, PG0, PAsq, sq, cF, F0)
+        P, q = _factored_Pq(W, v, r_diag)
+        sol = _solve_qp_impl(P, q, A, b, iters, x0 if warm else None, True,
+                             lam0 if warm_dual else None)
+        return sol.x, sol.lam, sol.ok, sol.gap
+
+    @custom_vmap
+    def solve(z, u_prev, Yr, PGW, PG0, PAsq, sq, r_diag, A, cF, F0,
+              x0, lam0):
+        return _pure(z, u_prev, Yr, PGW, PG0, PAsq, sq, r_diag, A, cF, F0,
+                     x0, lam0)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, z, u_prev, Yr, PGW, PG0, PAsq, sq,
+              r_diag, A, cF, F0, x0, lam0):
+        (zb, ub, Yrb, PGWb, PG0b, PAsqb, sqb, rb, Ab, cFb, F0b, xb,
+         lb) = in_batched
+        if PGWb or PG0b or PAsqb or sqb or rb or Ab or cFb or F0b:
+            # per-lane generators (candidate-model axes): no shared-A kernel
+            out = jax.vmap(_pure, in_axes=tuple(
+                0 if bi else None for bi in in_batched))(
+                    z, u_prev, Yr, PGW, PG0, PAsq, sq, r_diag, A, cF, F0,
+                    x0, lam0)
+            return out, (True, True, True, True)
+        bc = lambda val, vib: val if vib else \
+            jnp.broadcast_to(val[None], (axis_size,) + val.shape)
+        if Yrb:
+            # per-lane reference windows (run_multi_ref): assemble in XLA,
+            # solve on the factored kernel via its own routed path
+            def one(zi, ui, Yi, xi, li):
+                W, v, b = _bilin_assemble(zi, ui, Yi, PGW, PG0, PAsq, sq,
+                                          cF, F0)
+                sol = _solve_qp_factored(
+                    W, v, r_diag, A, b, iters, xi if warm else None,
+                    "auto", band, li if warm_dual else None)
+                return sol.x, sol.lam, sol.ok, sol.gap
+
+            out = jax.vmap(one)(bc(z, zb), bc(u_prev, ub), Yr,
+                                bc(x0, xb), bc(lam0, lb))
+            return out, (True, True, True, True)
+        x, lam, ok, gap = solve_qp_bilinear_batched(
+            bc(z, zb), bc(u_prev, ub), sq * Yr, PGW, PG0, PAsq, r_diag,
+            A, cF, F0, x0=bc(x0, xb) if warm else None, iters=iters,
+            band=band, lam0=bc(lam0, lb) if warm_dual else None)
+        return (x, lam, ok, gap), (True, True, True, True)
+
+    _ROUTED_CACHE[key] = solve
+    return solve
+
+
 def _pallas_routed_solver(iters: int, warm: bool, band: int = None,
                           warm_dual: bool = False):
     """custom_vmap'd shared-A solver: unbatched calls use the pure-JAX path;

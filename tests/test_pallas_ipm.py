@@ -299,3 +299,107 @@ def test_kernel_shared_P_matches_batched_P():
     dx = np.abs(np.asarray(x_s) - np.asarray(x_b))[m]
     assert np.median(dx) < 2e-5
     assert dx.max() < 5e-3
+
+
+def test_kernel_bilinear_fused_matches_factored():
+    """The assembly-fused bilinear kernel (W, v, b built in VMEM from
+    (z, u_prev) against shared generators) must match assembling in XLA and
+    solving on the factored kernel, lane-for-lane."""
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_bilinear_batched,
+        solve_qp_factored_batched,
+    )
+
+    B, p, n, m, NL = 96, 22, 27, 3, 34
+    rng = np.random.default_rng(31)
+    PGW = rng.normal(size=(p * n, NL)).astype(np.float32) * 0.3
+    PG0 = rng.normal(size=(m * p, NL)).astype(np.float32) * 0.3
+    PAsq = rng.normal(size=(p, NL)).astype(np.float32) * 0.3
+    sqYr = rng.normal(size=(p,)).astype(np.float32)
+    r = (np.abs(rng.normal(size=n)) * 0.05).astype(np.float32)
+    A_np, cns = _box_slope_stack(n, m)
+    mc = A_np.shape[0]
+    F0 = rng.normal(size=(mc, m)).astype(np.float32) * 0.1
+    z = rng.normal(size=(B, NL)).astype(np.float32) * 0.3
+    up = rng.normal(size=(B, m)).astype(np.float32) * 0.2
+    x0 = jnp.zeros((B, n), jnp.float32)
+    lam0 = jnp.ones((B, mc), jnp.float32)
+
+    # XLA assembly (the _bilin_assemble math)
+    W = np.einsum("rk,bk->br", PGW, z).reshape(B, p, n)
+    CB0 = np.einsum("rk,bk->br", PG0, z).reshape(B, m, p).transpose(0, 2, 1)
+    v = np.einsum("pk,bk->bp", PAsq, z) - sqYr[None] \
+        + np.einsum("bpm,bm->bp", CB0, up)
+    b = cns[None] - up @ F0.T
+
+    x_f, lam_f, ok_f, _ = solve_qp_factored_batched(
+        jnp.asarray(W), jnp.asarray(v), jnp.asarray(r), jnp.asarray(A_np),
+        jnp.asarray(b), x0=x0, iters=16, band=m, lam0=lam0, interpret=True)
+    x_b, lam_b, ok_b, _ = solve_qp_bilinear_batched(
+        jnp.asarray(z), jnp.asarray(up), jnp.asarray(sqYr),
+        jnp.asarray(PGW), jnp.asarray(PG0), jnp.asarray(PAsq),
+        jnp.asarray(r), jnp.asarray(A_np), jnp.asarray(cns),
+        jnp.asarray(F0), x0=x0, iters=16, band=m, lam0=lam0, interpret=True)
+    okm = np.asarray(ok_f) & np.asarray(ok_b)
+    assert okm.mean() > 0.9
+    dx = np.abs(np.asarray(x_b) - np.asarray(x_f))[okm]
+    assert np.median(dx) < 5e-5
+    assert dx.max() < 5e-3
+    dl = np.abs(np.asarray(lam_b) - np.asarray(lam_f))[okm]
+    assert np.median(dl) < 1e-3 * max(1.0, np.abs(np.asarray(lam_f)).max())
+
+
+def test_solve_qp_bilinear_routing_matches_pure(rng=None):
+    """The custom_vmap routing of ``ops.qp.solve_qp_bilinear`` (vmapped over
+    lanes on CPU -> pure fallback) must equal per-lane unbatched solves, and
+    the per-lane-Yr branch (multi-ref) must agree too.  Both sides run to
+    CONVERGENCE (30 iterations): mid-trajectory fixed-iteration iterates are
+    chaotic near active-set boundaries, converged endpoints are not."""
+    import jax
+
+    from koopman_realizations_tpu.ops.qp import solve_qp_bilinear
+
+    B, p, n, m, NL = 8, 6, 9, 3, 10
+    rng = np.random.default_rng(5)
+    PGW = jnp.asarray(rng.normal(size=(p * n, NL)).astype(np.float32) * 0.3)
+    PG0 = jnp.asarray(rng.normal(size=(m * p, NL)).astype(np.float32) * 0.3)
+    PAsq = jnp.asarray(rng.normal(size=(p, NL)).astype(np.float32) * 0.3)
+    sq = jnp.asarray(np.abs(rng.normal(size=p)).astype(np.float32) + 0.5)
+    Yr = jnp.asarray(rng.normal(size=(p,)).astype(np.float32))
+    Yr_b = jnp.asarray(rng.normal(size=(B, p)).astype(np.float32))
+    # r_diag bounded BELOW: W is p=6 rows in n=9 vars, so without a solid
+    # diagonal the QP is flat along null(W) directions and "converged"
+    # optima legitimately differ by ~1e-3 in x between summation orders
+    r = jnp.asarray((np.abs(rng.normal(size=n)) * 0.05 + 0.2).astype(np.float32))
+    A_np, cns = _box_slope_stack(n, m)
+    A = jnp.asarray(A_np)
+    cF = jnp.asarray(cns)
+    F0 = jnp.asarray(rng.normal(size=(A_np.shape[0], m)).astype(np.float32)
+                     * 0.1)
+    z = jnp.asarray(rng.normal(size=(B, NL)).astype(np.float32) * 0.3)
+    up = jnp.asarray(rng.normal(size=(B, m)).astype(np.float32) * 0.2)
+    it = 30
+
+    sol_v = jax.vmap(lambda zi, ui: solve_qp_bilinear(
+        zi, ui, Yr, PGW, PG0, PAsq, sq, r, A, cF, F0, iters=it,
+        band_offset=m))(z, up)
+    for i in range(B):
+        sol_i = solve_qp_bilinear(z[i], up[i], Yr, PGW, PG0, PAsq, sq, r,
+                                  A, cF, F0, iters=it, band_offset=m)
+        if bool(sol_v.ok[i]) and bool(sol_i.ok):
+            np.testing.assert_allclose(np.asarray(sol_v.x[i]),
+                                       np.asarray(sol_i.x), rtol=0,
+                                       atol=2e-4)
+    assert np.asarray(sol_v.ok).mean() > 0.8
+    # per-lane Yr branch
+    sol_m = jax.vmap(lambda zi, ui, Yi: solve_qp_bilinear(
+        zi, ui, Yi, PGW, PG0, PAsq, sq, r, A, cF, F0, iters=it,
+        band_offset=m))(z, up, Yr_b)
+    for i in range(0, B, 3):
+        sol_i = solve_qp_bilinear(z[i], up[i], Yr_b[i], PGW, PG0, PAsq, sq,
+                                  r, A, cF, F0, iters=it, band_offset=m)
+        if bool(sol_m.ok[i]) and bool(sol_i.ok):
+            np.testing.assert_allclose(np.asarray(sol_m.x[i]),
+                                       np.asarray(sol_i.x), rtol=0,
+                                       atol=2e-4)
+    assert np.asarray(sol_m.ok).mean() > 0.8
