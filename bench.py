@@ -123,6 +123,11 @@ def main():
             "equivalent_realtime_20hz_sims": round(realtime_sims_20hz, 1),
             "alive_fraction": alive_frac,
             "platform": jax.devices()[0].platform,
+            # the reference-comparable single-solve latency on this setup is
+            # the AMORTIZED per-lane step time of the fused batched scan
+            # (one-lane dispatch is ~30 ms of axon tunnel latency, see
+            # README "Reference-format per-step solve times")
+            "amortized_us_per_lane_step": round(1e6 / steps_per_s, 4),
         },
     }
     print(json.dumps(result))

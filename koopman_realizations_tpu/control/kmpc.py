@@ -792,6 +792,10 @@ class NonlinearKmpc(_KmpcBase):
         else:
             raise TypeError("NonlinearKmpc needs a NonlinearModel or BilinearModel")
         self.nz = self.meta.nzeta
+        # whether downstream needs the FULL (nz-row) sensitivity stack (only
+        # the infeasible-path 'linear' between-pass update does; see
+        # _condense_inner's projected scan outputs)
+        self._full_S = cfg.sqp_update == "linear"
         # static placement matrices for the condensation scan: Emb[k] puts an
         # (nz, m) block at columns [k m, (k+1) m).  B_k @ Emb[k] replaces a
         # dynamic_update_slice -- dynamic slices inside the vmapped scan
@@ -857,18 +861,27 @@ class NonlinearKmpc(_KmpcBase):
         cv = Fv - jnp.einsum("kij,kj->ki", jac_z, Zl) \
                 - jnp.einsum("kij,kj->ki", jac_u, Ul)
 
+        # every downstream consumer (Sy projection, state-bound rows) reads
+        # only the first n rows of each stage's sensitivity -- EXCEPT the
+        # infeasible-path 'linear' between-pass update, which moves the full
+        # lifted state along Sz.  Emitting only those rows shrinks the
+        # stacked scan output (B, Np+1, nz, Np m) -> (B, Np+1, n, Np m)
+        # (29x less HBM for the N=175 model); the (nz, Np m) carry itself
+        # never round-trips under unroll=Np.
+        keep = nz if self._full_S else self.n
+
         def fwd(carry, inp):
             Sk, sk = carry                     # zeta_k = sk + Sk @ vec(U)
             Ak, Bk, ck, Ek = inp
             S1 = Ak @ Sk + Bk @ Ek             # static one-hot placement
             s1 = Ak @ sk + ck
-            return (S1, s1), (S1, s1)
+            return (S1, s1), (S1[:keep], s1)
 
         S0 = jnp.zeros((nz, Np * m), Zl.dtype)
         s0 = zeta0
         (_, _), (Ss, ss) = jax.lax.scan(
             fwd, (S0, s0), (jac_z, jac_u, cv, self._Emb), unroll=Np)
-        Sz = jnp.concatenate([S0[None], Ss], axis=0)      # (Np+1, nz, Np m)
+        Sz = jnp.concatenate([S0[None, :keep], Ss], axis=0)  # (Np+1,keep,Npm)
         sz = jnp.concatenate([s0[None], ss], axis=0)      # (Np+1, nz)
         return Sz, sz, (jac_z, jac_u)
 

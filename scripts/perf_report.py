@@ -92,12 +92,26 @@ def main():
     import dataclasses
     for mt, B in (("linear", 8192), ("bilinear", 8192), ("nonlinear", 2048)):
         ks = ks_b if mt == "bilinear" else train(mt)
-        # the RTI budget (qp_iters=4 + dual warm) is validated on the
-        # BILINEAR bench only: the SQP's inner QPs have no dual carry, and
-        # the linear model's larger residuals make its QPs harder (one lane
-        # trips at 4 iters) -- both keep the 8-iteration margin
-        c = cfg if mt == "bilinear" else dataclasses.replace(
-            cfg, qp_iters=8, qp_dual_warm=(mt == "linear"))
+        # per-controller VERIFIED RTI floors (scripts/rti_floor_sweep.py +
+        # scripts/nmpc_sweep.py, round 3, full 301-step blockM spreads):
+        #   bilinear : qp_iters=2 + dual warm + stage shift (bench config;
+        #              multi-ref hardened: 4 trajs x 16 X0 x 3 loads all
+        #              alive, err 0.0186 vs 0.0179 at qp=10)
+        #   linear   : qp_iters=4 WITHOUT the dual shift -- the shift
+        #              DEGRADES linear tracking (0.263 vs 0.146 at qp=4)
+        #              and qp=3 loses lanes either way (alive 0.85/0.995)
+        #   nonlinear: qp_iters=8 -- qp=5 already drops lanes (alive
+        #              0.9961) and qp<=4 collapses (nmpc_sweep floor rows:
+        #              4 -> 0.9585, 3 -> 0.7661, 2 -> 0.4243); the SQP's
+        #              relinearization AMPLIFIES an inner-QP miss instead
+        #              of correcting it
+        if mt == "bilinear":
+            c = cfg
+        elif mt == "linear":
+            c = dataclasses.replace(cfg, qp_iters=4, qp_dual_warm=False,
+                                    qp_dual_shift=False)
+        else:
+            c = dataclasses.replace(cfg, qp_iters=8)
         sim = Ksim(arm, make_kmpc(ks.model, ks.scaler, c))
         sps, alive, err = run(sim, B)
         print(f"{mt:10s} B={B:5d}: {sps:9.0f} steps/s  alive={alive:.4f}  "

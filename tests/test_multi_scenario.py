@@ -90,3 +90,43 @@ def test_batch_matches_single_with_nonzero_x0(arm_dataset, blockM_ref):
         single = sim.run_trial_mpc(blockM_ref["y"], x0=X0[b], steps=25)
         np.testing.assert_allclose(out["Y"][b], np.asarray(single["Y"]),
                                    rtol=0, atol=1e-5)
+
+
+def test_multi_ref_rti_floor_config(arm_dataset, blockM_ref):
+    """The SHIPPING bilinear RTI regime (qp_iters=2 + dual warm + stage
+    shift, bench.py) must hold every-lane survival and near-qp=10 tracking
+    across trajectories x initial conditions x unmodeled loads -- the
+    CI-sized version of scripts/rti_floor_sweep.py MODE=multiref (round-3
+    verdict #3).  TPU-measured full-grid reference (192 lanes, 301 steps):
+    alive 1.0, err_mean 0.0186 vs 0.0179 at qp=10, worst lane 0.0387."""
+    ks = Ksysid(arm_dataset, SysidConfig(model_type="bilinear",
+                                         obs_type=("poly",), obs_degree=(3,),
+                                         dim_red=True)).train_models()
+    mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
+        horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
+        input_slopeConst=1e-1, cost_running=10.0, cost_terminal=100.0,
+        cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2), proj_idx=(4, 5),
+        qp_iters=2, qp_dual_warm=True, qp_dual_shift=True))
+    arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
+                        output_type="markers", substeps=3, newton_iters=2,
+                        jac_mode="step"))
+    sim = Ksim(arm, mpc)
+
+    circle = make_trajectory(get_circle([0.0, -0.7], 0.3), T=15.0, Ts=0.05)
+    pac = make_trajectory(get_pacman([0.0, -0.65], 0.3), T=15.0, Ts=0.05)
+    refs, X0s, Ws = [], [], []
+    for y in (blockM_ref["y"], circle["y"], pac["y"]):
+        for x00 in (-0.2, 0.2):
+            for ld in ((0.0, 0.0), (0.4, 0.2)):
+                refs.append(y)
+                x0 = np.zeros(6)
+                x0[0] = x00
+                X0s.append(x0)
+                Ws.append(ld)
+    out = sim.run_multi_ref(refs, np.stack(X0s),
+                            load=np.asarray(Ws, np.float32), steps=150)
+    alive = out["alive"][:, -1]
+    assert alive.all(), f"lanes died at qp_iters=2: {np.where(~alive)[0]}"
+    err = out["err"].mean(axis=1)
+    assert err.mean() < 0.04, err.mean()
+    assert err.max() < 0.08, err.max()
