@@ -62,8 +62,12 @@ def main():
     # qp_iters=1 collapses (alive 0.87): 2 is the floor.  Without the dual
     # warm start 5 iterations are needed for the same quality; the library
     # default stays 10 for margin on harder bases (snake fourier).
+    blocks = tuple(int(b) for b in os.environ["BENCH_BLOCKS"].split(",")) \
+        if os.environ.get("BENCH_BLOCKS") else None
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10, qp_iters=2, qp_dual_warm=True, qp_dual_shift=True,
+        horizon=10, qp_iters=int(os.environ.get("BENCH_QP_ITERS", "2")),
+        qp_dual_warm=True, qp_dual_shift=True,
+        input_blocks=blocks,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1,
         cost_running=10.0, cost_terminal=100.0,
@@ -78,7 +82,9 @@ def main():
     # closed-loop error and one-step accuracy vs a fine reference are
     # identical to exact Newton (the floor is substep resolution), +20%
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
-                        output_type="markers", substeps=3, newton_iters=2,
+                        output_type="markers",
+                        substeps=int(os.environ.get("BENCH_SUBSTEPS", "3")),
+                        newton_iters=int(os.environ.get("BENCH_NEWTON", "2")),
                         jac_mode="step"))
     sim = Ksim(arm, mpc)
 
@@ -105,6 +111,11 @@ def main():
     dt = float(np.median(walls))
 
     alive_frac = float(np.asarray(out["alive"])[:, -1].mean())
+    # tracking quality alongside throughput (golden bilinear mean is 0.0203)
+    Yl = np.asarray(out["Y"])[..., 4:6]
+    Rl = np.asarray(out["R"])
+    lane_err = np.sqrt(((Yl - Rl) ** 2).sum(-1)).mean(axis=1)
+    err_mean, err_worst = float(lane_err.mean()), float(lane_err.max())
     # every lane must survive: a silent lane loss would inflate steps/s
     # (explicit raise, not assert: python -O must not disable the gate)
     if alive_frac != 1.0:
@@ -122,6 +133,7 @@ def main():
             "batch": batch, "steps": steps, "wall_s": round(dt, 4),
             "equivalent_realtime_20hz_sims": round(realtime_sims_20hz, 1),
             "alive_fraction": alive_frac,
+            "err_mean": round(err_mean, 5), "err_worst": round(err_worst, 5),
             "platform": jax.devices()[0].platform,
             # the reference-comparable single-solve latency on this setup is
             # the AMORTIZED per-lane step time of the fused batched scan

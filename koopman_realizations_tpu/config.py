@@ -66,6 +66,14 @@ class MpcConfig:
     input_slopeConst: Optional[float] = None
     input_smoothConst: Optional[float] = None
     state_bounds: Optional[Tuple[float, float]] = None
+    # input move-blocking (no reference counterpart; a standard real-time
+    # MPC technique, here a TPU lever: the condensed QP's decision dim and
+    # constraint count shrink with the number of free moves, and the dense
+    # interior-point kernel cost is ~quadratic in both).  Tuple of group
+    # lengths over the FREE stages 1..Np-1 (u_0 is pinned), e.g. (1, 1, 1,
+    # 1, 1, 4): the input is held constant within each group.  Must sum to
+    # horizon-1.  Incompatible with input_smoothConst / state_bounds.
+    input_blocks: Optional[Tuple[int, ...]] = None
     cost_running: float = 0.1
     cost_terminal: float = 100.0
     cost_input: Sequence[float] = (0.0,)  # scalar or per-input weights

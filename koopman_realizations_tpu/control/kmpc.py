@@ -97,6 +97,82 @@ def input_constraint_rows(cfg: MpcConfig, m: int, Np: int, scaler):
     return np.concatenate(F_rows, axis=0), np.concatenate(c_rows)
 
 
+def move_blocking(blocks, m: int, Np: int, F, cF):
+    """Input move-blocking basis + reduced constraint stack.
+
+    ``blocks`` are group lengths over the free stages 1..Np-1: the stacked
+    input tail U[1:] = Tb @ V with V one free move per group (u_0 stays
+    pinned/eliminated as always).  Returns
+    (Tb ((Np-1)m, nf m), Sel (nf m, (Np-1)m), Fr, F0, cr) where the reduced
+    inequality stack is Fr @ V <= cr - F0 @ u_prev.
+
+    Row reduction is done by ALGEBRA on the full stack (F @ [I_m (+) Tb]),
+    then dropping rows made vacuous by the blocking: intra-group slope rows
+    lose all coefficients (u_{k+1} = u_k by construction; all-zero rows
+    poison interior-point equilibration, same invariant as the builders),
+    and a group's stages share identical bound rows (exact duplicates; the
+    first occurrence is kept, so the surviving layout is the builder's
+    box-then-slope block order with 'stages' = groups -- the layout
+    ``dual_shift_perm``-style maps rely on).
+    """
+    blocks = tuple(int(b) for b in blocks)
+    if sum(blocks) != Np - 1:
+        raise ValueError(f"input_blocks {blocks} must sum to Np-1={Np - 1}")
+    nf = len(blocks)
+    Tb = np.zeros(((Np - 1) * m, nf * m))
+    Sel = np.zeros((nf * m, (Np - 1) * m))
+    s = 0
+    for g, L in enumerate(blocks):
+        for k in range(s, s + L):
+            Tb[k * m:(k + 1) * m, g * m:(g + 1) * m] = np.eye(m)
+        Sel[g * m:(g + 1) * m, s * m:(s + 1) * m] = np.eye(m)
+        s += L
+    Fr_full = F[:, m:] @ Tb
+    F0_full = F[:, :m]
+    keep = []
+    seen = set()
+    for i in range(Fr_full.shape[0]):
+        if not Fr_full[i].any() and not F0_full[i].any():
+            continue                              # vacuous intra-group row
+        key = (np.round(Fr_full[i], 9).tobytes()
+               + np.round(F0_full[i], 9).tobytes()
+               + np.round(cF[i], 9).tobytes())
+        if key in seen:
+            continue                              # duplicated group row
+        seen.add(key)
+        keep.append(i)
+    keep = np.asarray(keep, np.int64)
+    return Tb, Sel, Fr_full[keep], F0_full[keep], cF[keep]
+
+
+def dual_shift_perm_blocked(cfg: MpcConfig, m: int, nf: int):
+    """Stage-advance map for the move-blocked reduced constraint rows.
+
+    After ``move_blocking``'s reduction the surviving layout is the
+    builder's block order with groups in place of stages: bounds nf groups
+    x 2m rows, slope nf blocks (the k=0 row vs u_prev plus nf-1 group
+    boundaries) x 2m.  A one-STAGE receding shift advances one group
+    exactly while the leading groups have length 1 (the intended blocking
+    shape); for longer tail groups it is the same heuristic seed the
+    unblocked shift is.
+    """
+    idx = []
+    base = 0
+
+    def block(num):
+        nonlocal base
+        for k in range(num):
+            src = min(k + 1, num - 1)
+            idx.extend(range(base + src * 2 * m, base + (src + 1) * 2 * m))
+        base += num * 2 * m
+
+    if cfg.input_bounds is not None:
+        block(nf)
+    if cfg.input_slopeConst is not None:
+        block(nf)
+    return np.asarray(idx, np.int32)
+
+
 def dual_shift_perm(cfg: MpcConfig, m: int, Np: int):
     """Row permutation advancing input-constraint multipliers one stage.
 
@@ -216,20 +292,41 @@ class _KmpcBase:
         # the Pallas IPM form A^T D A from banded contractions.  Bound +
         # slope rows give band = m; smoothness rows make it None (dense).
         from koopman_realizations_tpu.ops.qp import band_offset_of
-        self._band = band_offset_of(F[:, self.m:]) \
-            if cfg.state_bounds is None else None
+        self._Tb = None
+        if cfg.input_blocks is not None:
+            if cfg.input_smoothConst is not None \
+                    or cfg.state_bounds is not None:
+                raise NotImplementedError(
+                    "input_blocks with input_smoothConst/state_bounds is "
+                    "not supported")
+            (self._Tb, self._Sel, self.F_red, self.F0_red,
+             self.cF_red) = move_blocking(cfg.input_blocks, self.m, self.Np,
+                                          F, cF)
+            self._band = band_offset_of(self.F_red)
+        else:
+            self._band = band_offset_of(F[:, self.m:]) \
+                if cfg.state_bounds is None else None
         # optional stage-advance of carried multipliers (qp_dual_shift);
         # extended with identity over any appended state-bound rows by
         # _extend_dual_shift once the controller knows its full row count
-        self._dual_shift = dual_shift_perm(cfg, self.m, self.Np) \
-            if getattr(cfg, "qp_dual_shift", False) and F.shape[0] else None
-        if self._dual_shift is not None:
-            # dual_shift_perm re-derives input_constraint_rows' block layout
-            # independently; a reorder/resize of the constraint blocks must
-            # fail loudly, not silently mis-seed the qp_iters=2 regime
-            assert self._dual_shift.size == F.shape[0], (
-                f"dual_shift_perm layout drift: perm covers "
-                f"{self._dual_shift.size} rows, F has {F.shape[0]}")
+        self._dual_shift = None
+        if getattr(cfg, "qp_dual_shift", False) and F.shape[0]:
+            if self._Tb is not None:
+                self._dual_shift = dual_shift_perm_blocked(
+                    cfg, self.m, len(cfg.input_blocks))
+                assert self._dual_shift.size == self.F_red.shape[0], (
+                    f"blocked dual_shift layout drift: perm covers "
+                    f"{self._dual_shift.size} rows, reduced F has "
+                    f"{self.F_red.shape[0]}")
+            else:
+                self._dual_shift = dual_shift_perm(cfg, self.m, self.Np)
+                # dual_shift_perm re-derives input_constraint_rows' block
+                # layout independently; a reorder/resize of the constraint
+                # blocks must fail loudly, not silently mis-seed the
+                # qp_iters=2 regime
+                assert self._dual_shift.size == F.shape[0], (
+                    f"dual_shift_perm layout drift: perm covers "
+                    f"{self._dual_shift.size} rows, F has {F.shape[0]}")
 
     def _extend_dual_shift(self, n_con: int):
         """Pad the F-row shift permutation with identity to ``n_con`` rows
@@ -284,6 +381,9 @@ class LinearKmpc(_KmpcBase):
 
     def __init__(self, model: LinearModel, scaler, cfg: MpcConfig):
         super().__init__(model, scaler, cfg)
+        if self._Tb is not None:
+            raise NotImplementedError(
+                "input_blocks is implemented for BilinearKmpc only")
         A = np.asarray(model.A)
         B = np.asarray(model.B)
         NL, m, Np = self.NL, self.m, self.Np
@@ -370,7 +470,18 @@ def bilinear_consts(mpc: "BilinearKmpc") -> dict:
         "Fj": mpc.Fj, "cFj": mpc.cFj,
         "Qd": mpc.Qd, "Rd": mpc.Rd,
     }
-    if os.environ.get("KMPC_FUSED_ASSEMBLY"):
+    if mpc._Tb is not None:
+        # move-blocked reduced problem (see MpcConfig.input_blocks)
+        c.update({"Tb": jnp.asarray(mpc._Tb, jnp.float32),
+                  "Sel": jnp.asarray(mpc._Sel, jnp.float32),
+                  "FjT": jnp.asarray(mpc.F_red, jnp.float32),
+                  "cFjT": jnp.asarray(mpc.cF_red, jnp.float32),
+                  "F0T": jnp.asarray(mpc.F0_red, jnp.float32),
+                  # Tb^T diag(Rd) Tb is diagonal (disjoint groups): each
+                  # held stage still pays its input cost
+                  "RdT": jnp.asarray(mpc._Tb.T @ mpc.r_diag[mpc.m:],
+                                     jnp.float32)})
+    elif os.environ.get("KMPC_FUSED_ASSEMBLY"):
         # Opt-in: route the first bilinear pass through the assembly-fused
         # kernel (``ops.qp.solve_qp_bilinear``).  OFF by default: the
         # back-to-back full-trajectory A/B at bench shapes (B=16384,
@@ -468,6 +579,10 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
         x0 = jnp.tile(u_prev, Np - 1)
     else:
         x0 = jnp.concatenate([U_init[2:], U_init[-1:]], axis=0).reshape(-1)
+    blocked = "Tb" in c
+    if blocked:
+        # free move per group: the group's first stage from the shifted plan
+        x0 = c["Sel"] @ x0
 
     zhor = jnp.tile(z[None, :], (Np, 1))
     U, ok = None, None
@@ -496,13 +611,24 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
                 band_offset=band, lam0=lam_init)
         else:
             W, v, _, _ = qp_data(zhor, shared=(it == 0))
-            Az = c["Fj"][:, m:]
-            bz = c["cFj"] - c["Fj"][:, :m] @ u_prev
-            sol = solve_qp_factored(
-                W, v, c["Rd"][m:], Az, bz, iters=qp_iters,
-                x0=x0 if warm else None, backend=backend,
-                band_offset=band, lam0=lam_init)
-        U, ok = jnp.concatenate([u_prev, sol.x]).reshape(Np, m), sol.ok
+            if blocked:
+                # reduce to one free move per group: W (p, (Np-1)m) @ Tb and
+                # the pre-reduced/deduped constraint stack (move_blocking)
+                W = W @ c["Tb"]
+                sol = solve_qp_factored(
+                    W, v, c["RdT"], c["FjT"],
+                    c["cFjT"] - c["F0T"] @ u_prev, iters=qp_iters,
+                    x0=x0 if warm else None, backend=backend,
+                    band_offset=band, lam0=lam_init)
+            else:
+                Az = c["Fj"][:, m:]
+                bz = c["cFj"] - c["Fj"][:, :m] @ u_prev
+                sol = solve_qp_factored(
+                    W, v, c["Rd"][m:], Az, bz, iters=qp_iters,
+                    x0=x0 if warm else None, backend=backend,
+                    band_offset=band, lam0=lam_init)
+        xfull = c["Tb"] @ sol.x if blocked else sol.x
+        U, ok = jnp.concatenate([u_prev, xfull]).reshape(Np, m), sol.ok
         lam_init = sol.lam            # later passes re-warm from this pass
         if it + 1 == iters:
             break
@@ -610,6 +736,8 @@ class BilinearKmpc(_KmpcBase):
     @property
     def n_con(self) -> int:
         """Constraint-row count of the reduced QP (for dual-warm carries)."""
+        if self._Tb is not None:
+            return self.cF_red.size
         mc = self.F.shape[0]
         if self._sb_lo is not None:
             mc += 2 * self.n * (self.Np - 1)
@@ -763,6 +891,9 @@ class NonlinearKmpc(_KmpcBase):
 
     def __init__(self, model, scaler, cfg: MpcConfig, F_fn=None):
         super().__init__(model, scaler, cfg)
+        if self._Tb is not None:
+            raise NotImplementedError(
+                "input_blocks is implemented for BilinearKmpc only")
         # analytic Jacobian of the composed F (all-poly dictionaries);
         # None -> the jacfwd fallback in _condense_inner
         self.J_fn = None

@@ -63,7 +63,8 @@ def main():
                                     obs_degree=(3,), dim_red=True,
                                     dtype="float32")).train_models()
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10, qp_iters=3, qp_dual_warm=True,   # bench.py config
+        horizon=10, qp_iters=2, qp_dual_warm=True,   # bench.py config
+        qp_dual_shift=True,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1,
         cost_running=10.0, cost_terminal=100.0,
