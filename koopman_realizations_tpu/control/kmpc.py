@@ -381,9 +381,6 @@ class LinearKmpc(_KmpcBase):
 
     def __init__(self, model: LinearModel, scaler, cfg: MpcConfig):
         super().__init__(model, scaler, cfg)
-        if self._Tb is not None:
-            raise NotImplementedError(
-                "input_blocks is implemented for BilinearKmpc only")
         A = np.asarray(model.A)
         B = np.asarray(model.B)
         NL, m, Np = self.NL, self.m, self.Np
@@ -403,11 +400,30 @@ class LinearKmpc(_KmpcBase):
         CA = Cbig @ Abig
         CB = Cbig @ Bbig
 
-        H = CB.T @ (self.q_diag[:, None] * CB) + np.diag(self.r_diag)
-        E, cE = state_constraint_rows(cfg, self.n, NL, Np, scaler)
-        L = np.concatenate([self.F, E @ Bbig], axis=0)
-        M = np.concatenate([np.zeros((self.F.shape[0], NL)), E @ Abig], axis=0)
-        c = np.concatenate([self.cF, cE])
+        if self._Tb is not None:
+            # move blocking: fold Tfull = blockdiag(I_m, Tb) into the STATIC
+            # condensed matrices (decision = [u_0 | one move per group]);
+            # constraints use the pre-reduced/deduped stack, re-stacked as
+            # [F0 | Fr] so the u_0 elimination below applies unchanged
+            Tfull = np.zeros((Np * m, m + self._Tb.shape[1]))
+            Tfull[:m, :m] = np.eye(m)
+            Tfull[m:, m:] = self._Tb
+            CB = CB @ Tfull
+            L = np.concatenate([self.F0_red, self.F_red], axis=1)
+            M = np.zeros((L.shape[0], NL))
+            c = self.cF_red
+        else:
+            E, cE = state_constraint_rows(cfg, self.n, NL, Np, scaler)
+            L = np.concatenate([self.F, E @ Bbig], axis=0)
+            M = np.concatenate([np.zeros((self.F.shape[0], NL)), E @ Abig],
+                               axis=0)
+            c = np.concatenate([self.cF, cE])
+        H = CB.T @ (self.q_diag[:, None] * CB)
+        if self._Tb is not None:
+            H += np.diag(np.concatenate(
+                [self.r_diag[:m], self._Tb.T @ self.r_diag[m:]]))
+        else:
+            H += np.diag(self.r_diag)
 
         self.CA = jnp.asarray(CA)
         self.CB = jnp.asarray(CB)
@@ -416,6 +432,9 @@ class LinearKmpc(_KmpcBase):
         self.Mc = jnp.asarray(M)
         self.c = jnp.asarray(c)
         self.Qd = jnp.asarray(self.q_diag)
+        if self._Tb is not None:
+            self._Tbj = jnp.asarray(self._Tb, jnp.float32)
+            self._Selj = jnp.asarray(self._Sel, jnp.float32)
         self._extend_dual_shift(L.shape[0])
 
     @property
@@ -443,14 +462,17 @@ class LinearKmpc(_KmpcBase):
         # state bounds -- only b varies per lane -- so the lane-shared
         # Pallas route always applies (unlike BilinearKmpc, whose
         # state-bound rows depend on the per-lane linearization)
+        x0 = self._warm_start(u_prev, U_init)
+        if self._Tb is not None:
+            x0 = self._Selj @ x0
         sol = solve_qp(Pz, fz, Az, bz, iters=self.cfg.qp_iters,
-                       x0=self._warm_start(u_prev, U_init),
-                       shared_A=True,
+                       x0=x0, shared_A=True,
                        backend=self.cfg.qp_backend, band_offset=self._band,
                        lam0=self._shift_lam(lam_init))
+        xfull = self._Tbj @ sol.x if self._Tb is not None else sol.x
         if lam_init is None:
-            return self._assemble_U(u_prev, sol.x), sol.ok
-        return self._assemble_U(u_prev, sol.x), sol.ok, sol.lam
+            return self._assemble_U(u_prev, xfull), sol.ok
+        return self._assemble_U(u_prev, xfull), sol.ok, sol.lam
 
 
 def bilinear_consts(mpc: "BilinearKmpc") -> dict:
@@ -891,9 +913,6 @@ class NonlinearKmpc(_KmpcBase):
 
     def __init__(self, model, scaler, cfg: MpcConfig, F_fn=None):
         super().__init__(model, scaler, cfg)
-        if self._Tb is not None:
-            raise NotImplementedError(
-                "input_blocks is implemented for BilinearKmpc only")
         # analytic Jacobian of the composed F (all-poly dictionaries);
         # None -> the jacfwd fallback in _condense_inner
         self.J_fn = None
@@ -932,16 +951,46 @@ class NonlinearKmpc(_KmpcBase):
         # dynamic_update_slice -- dynamic slices inside the vmapped scan
         # measured 4x the whole condense cost on TPU (scripts/
         # nmpc_condense_bench.py: 5.6 -> 1.3 ms at B=2048).
-        Emb = np.zeros((self.Np, self.m, self.Np * self.m), np.float32)
+        # decision columns of the condensation: [u_0 block | free moves].
+        # Under move blocking (MpcConfig.input_blocks) the sensitivity
+        # recursion itself runs against the REDUCED columns (stage k's
+        # placement hits its group's move) -- the condense carry, the
+        # stacked Sy, and the inner QP all shrink with nf.
+        if self._Tb is not None:
+            group_of = np.repeat(np.arange(len(cfg.input_blocks)),
+                                 cfg.input_blocks)      # stage-1..Np-1 -> g
+            self._nU = self.m + self._Tb.shape[1]
+        else:
+            group_of = None
+            self._nU = self.Np * self.m
+        Emb = np.zeros((self.Np, self.m, self._nU), np.float32)
         for k in range(self.Np):
-            Emb[k, :, k * self.m:(k + 1) * self.m] = np.eye(self.m)
+            if k == 0 or group_of is None:
+                c0 = k * self.m
+            else:
+                c0 = self.m + int(group_of[k - 1]) * self.m
+            Emb[k, :, c0:c0 + self.m] = np.eye(self.m)
         self._Emb = jnp.asarray(Emb)
         # projection acts on the first n state dims (Kmpc.m:924)
         self.Cz = jnp.asarray(self.projmtx[:, : self.n])
         E, cE = state_constraint_rows(cfg, self.n, self.n, self.Np, scaler)
         self.E = jnp.asarray(E)       # rows over stacked zeta[:n]
         self.cE = jnp.asarray(cE)
-        self.Fj = jnp.asarray(self.F)
+        if self._Tb is not None:
+            self.Fj = None            # blocked: pre-reduced stack below
+            self._Azj = jnp.asarray(self.F_red, jnp.float32)
+            self._F0j = jnp.asarray(self.F0_red, jnp.float32)
+            self._cFzj = jnp.asarray(self.cF_red, jnp.float32)
+            self._Tbj = jnp.asarray(self._Tb, jnp.float32)
+            self._Selj = jnp.asarray(self._Sel, jnp.float32)
+            self._RdTj = jnp.asarray(self._Tb.T @ self.r_diag[self.m:],
+                                     jnp.float32)
+            # Levenberg rho||U - Ul||^2 in the reduced var: Tb^T Tb is
+            # diag(group sizes) (disjoint groups)
+            self._bsizes = jnp.asarray((self._Tb * self._Tb).sum(axis=0),
+                                       jnp.float32)
+        else:
+            self.Fj = jnp.asarray(self.F)
         self.cFj = jnp.asarray(self.cF)
         self.Qd = jnp.asarray(self.q_diag)
         self.Rd = jnp.asarray(self.r_diag)
@@ -1008,7 +1057,7 @@ class NonlinearKmpc(_KmpcBase):
             s1 = Ak @ sk + ck
             return (S1, s1), (S1[:keep], s1)
 
-        S0 = jnp.zeros((nz, Np * m), Zl.dtype)
+        S0 = jnp.zeros((nz, self._nU), Zl.dtype)
         s0 = zeta0
         (_, _), (Ss, ss) = jax.lax.scan(
             fwd, (S0, s0), (jac_z, jac_u, cv, self._Emb), unroll=Np)
@@ -1096,7 +1145,7 @@ class NonlinearKmpc(_KmpcBase):
                 Sz, sz = self._condense(Zl, Ul, zeta, frozen=frozen, Fv=Fv)
             # predicted tracked outputs: y_k = Cz zeta_k[:n]
             Sy = jnp.einsum("pi,kij->kpj", self.Cz, Sz[:, : n, :]) \
-                .reshape((Np + 1) * self.nproj, Np * m)
+                .reshape((Np + 1) * self.nproj, self._nU)
             sy = (sz[:, : n] @ self.Cz.T).reshape(-1)
             # Levenberg damping rho ||U - U_lin||^2: the undamped Gauss-Newton
             # step can converge to an input-saturated local optimum during
@@ -1132,16 +1181,34 @@ class NonlinearKmpc(_KmpcBase):
                 sq = jnp.sqrt(self.Qd)
                 Wls = sq[:, None] * Sy[:, m:]
                 vls = sq * (sy - ref.reshape(-1) + Sy[:, :m] @ u_prev)
-                Az = self.Fj[:, m:]
-                bz = self.cFj - self.Fj[:, :m] @ u_prev
-                sol = solve_qp_factored(
-                    Wls, vls, self.Rd[m:] + rho, Az, bz,
-                    iters=self.cfg.qp_iters, x0=Ul[1:].reshape(-1),
-                    backend=self.cfg.qp_backend, band_offset=self._band,
-                    lam0=lam_carry,
-                    q0=None if rho == 0.0
-                    else -2.0 * rho * Ul.reshape(-1)[m:])
-            U_qp, ok = self._assemble_U(u_prev, sol.x), sol.ok
+                if self._Tb is not None:
+                    # move-blocked reduced var V (U[1:] = Tb V): the
+                    # condensation already produced Sy against V, so only
+                    # the constraint stack, the R/Levenberg diagonal
+                    # (Tb^T (.) Tb = group-summed diag), and the warm
+                    # starts change basis
+                    sol = solve_qp_factored(
+                        Wls, vls, self._RdTj + rho * self._bsizes,
+                        self._Azj, self._cFzj - self._F0j @ u_prev,
+                        iters=self.cfg.qp_iters,
+                        x0=self._Selj @ Ul[1:].reshape(-1),
+                        backend=self.cfg.qp_backend, band_offset=self._band,
+                        lam0=lam_carry,
+                        q0=None if rho == 0.0
+                        else -2.0 * rho * (self._Tbj.T
+                                           @ Ul[1:].reshape(-1)))
+                else:
+                    Az = self.Fj[:, m:]
+                    bz = self.cFj - self.Fj[:, :m] @ u_prev
+                    sol = solve_qp_factored(
+                        Wls, vls, self.Rd[m:] + rho, Az, bz,
+                        iters=self.cfg.qp_iters, x0=Ul[1:].reshape(-1),
+                        backend=self.cfg.qp_backend, band_offset=self._band,
+                        lam0=lam_carry,
+                        q0=None if rho == 0.0
+                        else -2.0 * rho * Ul.reshape(-1)[m:])
+            xfull = self._Tbj @ sol.x if self._Tb is not None else sol.x
+            U_qp, ok = self._assemble_U(u_prev, xfull), sol.ok
             if self.cfg.sqp_dual_warm:
                 lam_carry = sol.lam
             last = it == self.cfg.sqp_iters - 1
@@ -1180,7 +1247,12 @@ class NonlinearKmpc(_KmpcBase):
                     # the [z_0 .. z_{Np-1}] convention of every other path
                     # (Zl[0] = zeta exactly), so drop the TERMINAL stage of
                     # the (Np+1)-stacked prediction, not the initial one
-                    Zl, Fv = (sz + Sz @ U.reshape(-1))[:-1], None
+                    if self._Tb is not None:
+                        Uvec = jnp.concatenate(
+                            [U[0], self._Selj @ U[1:].reshape(-1)])
+                    else:
+                        Uvec = U.reshape(-1)
+                    Zl, Fv = (sz + Sz @ Uvec)[:-1], None
                 else:
                     # feasible-path update: the rollout above, which also
                     # carries F(Zl, Ul) = Zroll[1:] into the condensation

@@ -53,11 +53,13 @@ def build(model_type: str):
 
 def mpc_cfg(**kw):
     from koopman_realizations_tpu.config import MpcConfig
+    blocks = tuple(int(b) for b in os.environ["BLOCKS"].split(",")) \
+        if os.environ.get("BLOCKS") else None
     return MpcConfig(
         horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1, cost_running=10.0, cost_terminal=100.0,
         cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2), proj_idx=(4, 5),
-        **kw)
+        input_blocks=blocks, **kw)
 
 
 def bench_arm():
