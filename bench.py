@@ -40,7 +40,7 @@ def main():
     # a 30-step loop pays as ~1.2 ms/step of phantom cost.  B=16384 is the
     # measured throughput peak since the factored in-kernel-Gram IPM
     # (6.22M vs 5.62M at 4096; error/alive identical across 4k-16k).
-    batch = int(os.environ.get("BENCH_BATCH", "16384"))
+    batch = int(os.environ.get("BENCH_BATCH", "32768"))
     steps = int(os.environ.get("BENCH_STEPS", "301"))
 
     ds = load_data4sysid(DATAFILE)
@@ -53,19 +53,23 @@ def main():
                                     obs_degree=(3,), dim_red=True,
                                     dtype="float32")).train_models()
 
-    # qp_iters=2 + the stage-SHIFTED dual warm start (qp_dual_warm +
-    # qp_dual_shift): a real-time-iteration regime verified on THIS
-    # workload over the full 301-step trajectory at B=16384
-    # (scripts/dual_shift_sweep.py, reproduced twice) -- alive_fraction
-    # 1.0, mean lane error 0.0205 vs the 0.0203 golden run (worst lane
-    # 0.0349, still ~3x below the golden run's own max-err step 0.0992).
-    # qp_iters=1 collapses (alive 0.87): 2 is the floor.  Without the dual
-    # warm start 5 iterations are needed for the same quality; the library
-    # default stays 10 for margin on harder bases (snake fourier).
-    blocks = tuple(int(b) for b in os.environ["BENCH_BLOCKS"].split(",")) \
-        if os.environ.get("BENCH_BLOCKS") else None
+    # The shipping RTI regime (round 3): input move-blocking (1,1,2,5)
+    # shrinks the condensed QP 27 -> 12 vars / 108 -> 48 rows at
+    # golden-class tracking (CPU + 192-lane TPU multi-ref grids: blocked
+    # qp=3+dual shift err 0.0188 vs 0.0186 for the old unblocked qp=2
+    # config, alive 1.0 in every scenario cell), and qp_iters=3 + the
+    # stage-SHIFTED dual warm start holds the bench workload at
+    # err_mean 0.0207 / worst lane 0.0286 (vs 0.0203 golden mean and the
+    # old config's 0.0349 worst).  B=32768 is the blocked-kernel batch
+    # peak (the unblocked peak was 16384).  Round-2 history: unblocked
+    # qp_iters=2 was the verified floor at 11.2M steps/s; qp_iters=1
+    # collapses (alive 0.87).  The library default stays qp_iters=10,
+    # unblocked, for margin on harder bases (snake fourier).
+    blocks_env = os.environ.get("BENCH_BLOCKS", "1,1,2,5")  # "" = unblocked
+    blocks = tuple(int(b) for b in blocks_env.split(",")) if blocks_env \
+        else None
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10, qp_iters=int(os.environ.get("BENCH_QP_ITERS", "2")),
+        horizon=10, qp_iters=int(os.environ.get("BENCH_QP_ITERS", "3")),
         qp_dual_warm=True, qp_dual_shift=True,
         input_blocks=blocks,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
