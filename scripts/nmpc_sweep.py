@@ -47,7 +47,10 @@ def main():
                      input_slopeConst=1e-1, cost_running=10.0,
                      cost_terminal=100.0,
                      cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2),
-                     proj_idx=(4, 5))
+                     proj_idx=(4, 5),
+                     input_blocks=tuple(
+                         int(b) for b in os.environ["BLOCKS"].split(","))
+                     if os.environ.get("BLOCKS") else None)
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
                         output_type="markers", substeps=3, newton_iters=2,
                         jac_mode="step"))

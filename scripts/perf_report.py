@@ -38,16 +38,16 @@ def main():
                          "arm-3link-markers-noload-50trials_train-10_val-5.mat")
     ref = load_ref_trajectory("/root/reference/trajectories/files/"
                               "blockM_c0p45-0p35_0p5x0p5_15sec.mat")
-    # the SHIPPING bench configuration (bench.py: qp_iters=2 + stage-shifted
-    # dual warm, verified golden-parity tracking, alive 1.0; qp_dual_warm is
-    # a no-op
-    # for the NMPC controller)
+    # the SHIPPING bench configuration (bench.py, round 3: move blocking
+    # (1,1,2,5) + qp_iters=3 + stage-shifted dual warm, verified
+    # golden-class tracking, alive 1.0; qp_dual_warm is a no-op for the
+    # NMPC controller)
     cfg = MpcConfig(horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
                     input_slopeConst=1e-1, cost_running=10.0,
                     cost_terminal=100.0,
                     cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2),
-                    proj_idx=(4, 5), qp_iters=2, qp_dual_warm=True,
-                    qp_dual_shift=True)
+                    proj_idx=(4, 5), qp_iters=3, qp_dual_warm=True,
+                    qp_dual_shift=True, input_blocks=(1, 1, 2, 5))
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
                         output_type="markers", substeps=3, newton_iters=2,
                         jac_mode="step"))
@@ -93,22 +93,25 @@ def main():
     for mt, B in (("linear", 8192), ("bilinear", 8192), ("nonlinear", 2048)):
         ks = ks_b if mt == "bilinear" else train(mt)
         # per-controller VERIFIED RTI floors (scripts/rti_floor_sweep.py +
-        # scripts/nmpc_sweep.py, round 3, full 301-step blockM spreads):
-        #   bilinear : qp_iters=2 + dual warm + stage shift (bench config;
-        #              multi-ref hardened: 4 trajs x 16 X0 x 3 loads all
-        #              alive, err 0.0186 vs 0.0179 at qp=10)
-        #   linear   : qp_iters=4 WITHOUT the dual shift -- the shift
-        #              DEGRADES linear tracking (0.263 vs 0.146 at qp=4)
-        #              and qp=3 loses lanes either way (alive 0.85/0.995)
-        #   nonlinear: qp_iters=8 -- qp=5 already drops lanes (alive
-        #              0.9961) and qp<=4 collapses (nmpc_sweep floor rows:
-        #              4 -> 0.9585, 3 -> 0.7661, 2 -> 0.4243); the SQP's
-        #              relinearization AMPLIFIES an inner-QP miss instead
-        #              of correcting it
+        # scripts/nmpc_sweep.py, round 3, full 301-step blockM spreads),
+        # all with move blocking (1,1,2,5) -- blocking improved every
+        # controller's quality/stability at low iteration counts:
+        #   bilinear : blocked qp_iters=3 + dual warm + stage shift (bench
+        #              config; 192-lane multi-ref grid all alive, err
+        #              0.0188 vs 0.0186 for the old unblocked qp=2)
+        #   linear   : blocked qp_iters=3, NO dual shift (err 0.1313 /
+        #              worst 0.1408 / alive 1.0 -- unblocked qp=3 LOST
+        #              lanes at worst 0.5363, and the shift degrades
+        #              linear tracking either way)
+        #   nonlinear: qp_iters=8 -- blocked qp=5 keeps alive 1.0 (the
+        #              unblocked didn't) but err degrades 0.031 -> 0.039;
+        #              the SQP relinearizes about the inner QP's answer,
+        #              so a partially-converged QP moves the linearization
+        #              point the WRONG way and the next pass amplifies it
         if mt == "bilinear":
             c = cfg
         elif mt == "linear":
-            c = dataclasses.replace(cfg, qp_iters=4, qp_dual_warm=False,
+            c = dataclasses.replace(cfg, qp_iters=3, qp_dual_warm=False,
                                     qp_dual_shift=False)
         else:
             c = dataclasses.replace(cfg, qp_iters=8)
@@ -118,7 +121,7 @@ def main():
               f"err={err:.4f}")
 
     print("== bilinear throughput vs batch ==")
-    for B in (2048, 4096, 8192, 16384, 32768):
+    for B in (4096, 8192, 16384, 32768, 65536):
         sps, alive, _ = run(sim_b, B)
         print(f"B={B:6d}: {sps:9.0f} steps/s  alive={alive:.4f}")
 

@@ -62,9 +62,12 @@ def main():
         ks = Ksysid(ds, SysidConfig(model_type="bilinear", obs_type=("poly",),
                                     obs_degree=(3,), dim_red=True,
                                     dtype="float32")).train_models()
+    blocks = tuple(int(b) for b in os.environ["BLOCKS"].split(",")) \
+        if os.environ.get("BLOCKS") else None
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10, qp_iters=2, qp_dual_warm=True,   # bench.py config
-        qp_dual_shift=True,
+        horizon=10, qp_iters=int(os.environ.get("QP_ITERS", "2")),
+        qp_dual_warm=True,   # bench.py config
+        qp_dual_shift=True, input_blocks=blocks,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1,
         cost_running=10.0, cost_terminal=100.0,
@@ -106,15 +109,24 @@ def main():
         W = sq[:, None] * CB[:, m:]
         v = sq * (CAz - Yr + CB[:, :m] @ up)
         x0 = jnp.concatenate([Upl[2:], Upl[-1:]], axis=0).reshape(-1)
+        if "Tb" in c:                            # move-blocked reduced var
+            W = W @ c["Tb"]
+            x0 = c["Sel"] @ x0
         return W, v, x0
 
-    Av = jnp.asarray(consts["Fj"][:, m:])
-    bv = jnp.asarray(consts["cFj"])
+    if "Tb" in consts:
+        Av = jnp.asarray(consts["FjT"])
+        bv = jnp.asarray(consts["cFjT"])
+        F0 = jnp.asarray(consts["F0T"])
+        rdz = jnp.asarray(consts["RdT"])
+    else:
+        Av = jnp.asarray(consts["Fj"][:, m:])
+        bv = jnp.asarray(consts["cFj"])
+        F0 = jnp.asarray(consts["Fj"][:, :m])
+        rdz = jnp.asarray(consts["Rd"][m:])
     Wz, vz, x0z = jax.jit(jax.vmap(
         lambda zz, uu, UU: assemble_one(consts, zz, uu, UU)))(z, u_prev, U_plan)
-    bz = jnp.broadcast_to(bv[None], (B,) + bv.shape) - \
-        (u_prev @ jnp.asarray(consts["Fj"][:, :m]).T)
-    rdz = jnp.asarray(consts["Rd"][m:])
+    bz = jnp.broadcast_to(bv[None], (B,) + bv.shape) - (u_prev @ F0.T)
 
     def chain(fn, seed, k):
         """Chain k dependent applications of fn; fn(x)->x-like; fetch scalar."""
