@@ -37,9 +37,10 @@ def main():
 
     # steps=301 runs the FULL 15 s blockM trajectory (like the reference's
     # experiments) -- it also amortizes the ~35 ms axon tunnel dispatch that
-    # a 30-step loop pays as ~1.2 ms/step of phantom cost.  B=16384 is the
-    # measured throughput peak since the factored in-kernel-Gram IPM
-    # (6.22M vs 5.62M at 4096; error/alive identical across 4k-16k).
+    # a 30-step loop pays as ~1.2 ms/step of phantom cost.  B=32768 is the
+    # measured throughput peak of the SHIPPING blocked config (move blocking
+    # shrinks the kernel problem 27->12 vars, moving the peak up from the
+    # unblocked kernel's 16384; error/alive identical across 4k-32k).
     batch = int(os.environ.get("BENCH_BATCH", "32768"))
     steps = int(os.environ.get("BENCH_STEPS", "301"))
 
@@ -60,11 +61,13 @@ def main():
     # config, alive 1.0 in every scenario cell), and qp_iters=3 + the
     # stage-SHIFTED dual warm start holds the bench workload at
     # err_mean 0.0207 / worst lane 0.0286 (vs 0.0203 golden mean and the
-    # old config's 0.0349 worst).  B=32768 is the blocked-kernel batch
-    # peak (the unblocked peak was 16384).  Round-2 history: unblocked
-    # qp_iters=2 was the verified floor at 11.2M steps/s; qp_iters=1
-    # collapses (alive 0.87).  The library default stays qp_iters=10,
-    # unblocked, for margin on harder bases (snake fourier).
+    # old config's 0.0349 worst).  Iteration cliffs PER REGIME (they move
+    # with the kernel shape -- re-measure after kernel changes): blocked
+    # needs qp_iters=3 (blocked qp=2 degrades err ~13%); the retired
+    # UNBLOCKED config's floor was qp_iters=2 with dual shift (11.2M
+    # steps/s round 2), and unblocked qp_iters=1 collapses (alive 0.87).
+    # The library default stays qp_iters=10, unblocked, for margin on
+    # harder bases (snake fourier).
     blocks_env = os.environ.get("BENCH_BLOCKS", "1,1,2,5")  # "" = unblocked
     blocks = tuple(int(b) for b in blocks_env.split(",")) if blocks_env \
         else None

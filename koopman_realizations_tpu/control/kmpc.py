@@ -116,6 +116,10 @@ def move_blocking(blocks, m: int, Np: int, F, cF):
     ``dual_shift_perm``-style maps rely on).
     """
     blocks = tuple(int(b) for b in blocks)
+    if any(b < 1 for b in blocks):
+        # zero/negative group lengths would pass the sum check but produce
+        # all-zero Tb columns (singular reduced Hessian) or aliased Sel rows
+        raise ValueError(f"input_blocks {blocks} must all be >= 1")
     if sum(blocks) != Np - 1:
         raise ValueError(f"input_blocks {blocks} must sum to Np-1={Np - 1}")
     nf = len(blocks)
@@ -142,7 +146,37 @@ def move_blocking(blocks, m: int, Np: int, F, cF):
         seen.add(key)
         keep.append(i)
     keep = np.asarray(keep, np.int64)
-    return Tb, Sel, Fr_full[keep], F0_full[keep], cF[keep]
+    return Tb, Sel, Fr_full[keep], F0_full[keep], cF[keep], keep
+
+
+def expected_blocked_keep(cfg: MpcConfig, m: int, Np: int, blocks):
+    """Kept-row indices ``move_blocking`` MUST produce for the builders'
+    box-then-slope stack -- the structural ground truth the blocked dual
+    shift layout (``dual_shift_perm_blocked``) relies on.
+
+    Derivation: bound rows of the stages inside a group fold to identical
+    reduced rows (first stage survives the dedup); a slope row u_{k+1}-u_k
+    survives iff it crosses a group boundary (k+1 is a group's first stage)
+    or pins against u_prev (k=0).  Recomputed independently here so a future
+    reorder of ``move_blocking``'s reduction that happens to preserve the
+    row COUNT still fails loudly instead of silently mis-seeding the
+    warm-started duals.
+    """
+    blocks = tuple(int(b) for b in blocks)
+    idx = []
+    base = 0
+    if cfg.input_bounds is not None:
+        starts = np.concatenate([[0], np.cumsum(blocks)[:-1]])
+        for s in starts:                 # group's first stage is 1 + s
+            idx.extend(range(base + int(s) * 2 * m,
+                             base + (int(s) + 1) * 2 * m))
+        base += 2 * m * (Np - 1)
+    if cfg.input_slopeConst is not None:
+        boundary_ks = np.concatenate([[0], np.cumsum(blocks)[:-1]])
+        for k in sorted(int(v) for v in boundary_ks):
+            idx.extend(range(base + k * 2 * m, base + (k + 1) * 2 * m))
+        base += 2 * m * (Np - 1)
+    return np.asarray(idx, np.int64)
 
 
 def dual_shift_perm_blocked(cfg: MpcConfig, m: int, nf: int):
@@ -300,8 +334,18 @@ class _KmpcBase:
                     "input_blocks with input_smoothConst/state_bounds is "
                     "not supported")
             (self._Tb, self._Sel, self.F_red, self.F0_red,
-             self.cF_red) = move_blocking(cfg.input_blocks, self.m, self.Np,
-                                          F, cF)
+             self.cF_red, kept) = move_blocking(cfg.input_blocks, self.m,
+                                                self.Np, F, cF)
+            # structural ground truth, not just a row count: the kept-row
+            # indices must be exactly the box-then-slope group layout that
+            # dual_shift_perm_blocked assumes -- a reduction reorder that
+            # preserves the count must still fail loudly here
+            exp = expected_blocked_keep(cfg, self.m, self.Np,
+                                        cfg.input_blocks)
+            if kept.shape != exp.shape or (kept != exp).any():
+                raise AssertionError(
+                    f"move_blocking kept-row layout drift: got {kept}, "
+                    f"expected box-then-slope group layout {exp}")
             self._band = band_offset_of(self.F_red)
         else:
             self._band = band_offset_of(F[:, self.m:]) \

@@ -334,6 +334,10 @@ class Ksim:
         return {
             "comp_time": comp_time_like(wall_s, K1),
             "T": np.arange(1, K1 + 1) * Ts,
+            # step-counter column of the reference's results struct
+            # (``Ksim.m:133,253``: K starts at 0 and appends k per step; the
+            # initial k=0 row is dropped here like every other initial row)
+            "K": np.arange(1, K1 + 1),
             "U": np.asarray(out["U"]),
             "Y": Y,
             "R": R,

@@ -57,7 +57,11 @@ def test_move_blocking_structure():
             return np.asarray(u)
 
     F, cF = input_constraint_rows(cfg, m, Np, S())
-    Tb, Sel, Fr, F0, cr = move_blocking(blocks, m, Np, F, cF)
+    Tb, Sel, Fr, F0, cr, kept = move_blocking(blocks, m, Np, F, cF)
+    # kept indices match the independently derived structural ground truth
+    from koopman_realizations_tpu.control.kmpc import expected_blocked_keep
+    np.testing.assert_array_equal(kept, expected_blocked_keep(cfg, m, Np,
+                                                              blocks))
     nf = len(blocks)
     assert Tb.shape == ((Np - 1) * m, nf * m)
     np.testing.assert_allclose(Sel @ Tb, np.eye(nf * m))
@@ -121,6 +125,12 @@ def test_blocked_rti_regime(arm_dataset, blockM_ref):
 def test_blocking_rejects_unsupported():
     with pytest.raises(ValueError):
         move_blocking((1, 2), 3, 10, np.zeros((0, 30)), np.zeros(0))
+    # zero/negative group lengths that happen to sum to Np-1 must be loud
+    # errors, not silently-singular reduced problems
+    with pytest.raises(ValueError):
+        move_blocking((0, 1, 3, 5), 3, 10, np.zeros((0, 30)), np.zeros(0))
+    with pytest.raises(ValueError):
+        move_blocking((2, -1, 8), 3, 10, np.zeros((0, 30)), np.zeros(0))
 
 
 def test_identity_blocking_linear_and_nmpc(arm_dataset, blockM_ref):

@@ -345,6 +345,8 @@ def test_timed_mode_matches_fused(arm_dataset, blockM):
     timed = sim.run_trial_mpc_timed(blockM["y"], steps=25)
     assert timed["comp_time"].shape == (24,)
     assert (timed["comp_time"] > 0).all()
+    # schema-exact results struct: the step-counter column (Ksim.m:133,253)
+    np.testing.assert_array_equal(fused["K"], np.arange(1, 25))
     np.testing.assert_allclose(timed["Y"], fused["Y"], rtol=0, atol=1e-10)
     np.testing.assert_allclose(timed["err"], fused["err"], rtol=0, atol=1e-8)
 

@@ -92,13 +92,19 @@ def test_batch_matches_single_with_nonzero_x0(arm_dataset, blockM_ref):
                                    rtol=0, atol=1e-5)
 
 
-def test_multi_ref_rti_floor_config(arm_dataset, blockM_ref):
-    """The SHIPPING bilinear RTI regime (qp_iters=2 + dual warm + stage
-    shift, bench.py) must hold every-lane survival and near-qp=10 tracking
-    across trajectories x initial conditions x unmodeled loads -- the
-    CI-sized version of scripts/rti_floor_sweep.py MODE=multiref (round-3
-    verdict #3).  TPU-measured full-grid reference (192 lanes, 301 steps):
-    alive 1.0, err_mean 0.0186 vs 0.0179 at qp=10, worst lane 0.0387."""
+@pytest.mark.parametrize("blocks,qp_iters", [
+    (None, 2),           # the retired round-2 unblocked RTI floor
+    ((1, 1, 2, 5), 3),   # the SHIPPING blocked bench config (round 3)
+], ids=["unblocked-qp2", "blocked-qp3"])
+def test_multi_ref_rti_floor_config(arm_dataset, blockM_ref, blocks,
+                                    qp_iters):
+    """The bilinear RTI regimes (dual warm + stage shift, bench.py) must
+    hold every-lane survival and near-qp=10 tracking across trajectories x
+    initial conditions x unmodeled loads -- the CI-sized version of
+    scripts/rti_floor_sweep.py MODE=multiref (round-3 verdict #3).
+    TPU-measured full-grid references (192 lanes, 301 steps): unblocked
+    qp=2 alive 1.0, err_mean 0.0186 vs 0.0179 at qp=10, worst 0.0387;
+    blocked (1,1,2,5) qp=3 err_mean 0.0188, alive 1.0 everywhere."""
     ks = Ksysid(arm_dataset, SysidConfig(model_type="bilinear",
                                          obs_type=("poly",), obs_degree=(3,),
                                          dim_red=True)).train_models()
@@ -106,7 +112,8 @@ def test_multi_ref_rti_floor_config(arm_dataset, blockM_ref):
         horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1, cost_running=10.0, cost_terminal=100.0,
         cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2), proj_idx=(4, 5),
-        qp_iters=2, qp_dual_warm=True, qp_dual_shift=True))
+        qp_iters=qp_iters, qp_dual_warm=True, qp_dual_shift=True,
+        input_blocks=blocks))
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
                         output_type="markers", substeps=3, newton_iters=2,
                         jac_mode="step"))
@@ -126,7 +133,8 @@ def test_multi_ref_rti_floor_config(arm_dataset, blockM_ref):
     out = sim.run_multi_ref(refs, np.stack(X0s),
                             load=np.asarray(Ws, np.float32), steps=150)
     alive = out["alive"][:, -1]
-    assert alive.all(), f"lanes died at qp_iters=2: {np.where(~alive)[0]}"
+    assert alive.all(), \
+        f"lanes died at qp_iters={qp_iters}: {np.where(~alive)[0]}"
     err = out["err"].mean(axis=1)
     assert err.mean() < 0.04, err.mean()
     assert err.max() < 0.08, err.max()
