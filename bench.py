@@ -131,6 +131,17 @@ def main():
     steps_per_s = mpc_steps / dt
     realtime_sims_20hz = steps_per_s / 20.0
 
+    # roofline accounting (round-4 verdict #5): analytic per-lane-step
+    # FLOPs/bytes vs the chip's published peaks -- answers "how far from
+    # the hardware ceiling" alongside the steps/s headline
+    from koopman_realizations_tpu.utils.roofline import (
+        bilinear_step_cost,
+        roofline_summary,
+    )
+    cost = bilinear_step_cost(mpc, arm.cfg)
+    roof = roofline_summary(steps_per_s, cost,
+                            getattr(jax.devices()[0], "device_kind", "?"))
+
     result = {
         "metric": "kmpc_bilinear_closed_loop_steps_per_s_per_chip",
         "value": round(steps_per_s, 1),
@@ -147,6 +158,12 @@ def main():
             # (one-lane dispatch is ~30 ms of axon tunnel latency, see
             # README "Reference-format per-step solve times")
             "amortized_us_per_lane_step": round(1e6 / steps_per_s, 4),
+            # roofline: analytic model in utils/roofline.py; interpretation
+            # in README "Roofline accounting"
+            "flops_per_lane_step": cost["flops_total"],
+            "hbm_bytes_per_lane_step_est": cost["bytes_est"],
+            "mfu": round(roof.get("mfu_vs_bf16_peak", float("nan")), 6),
+            "hbm_gbps": round(roof["hbm_gbps_est"], 1),
         },
     }
     print(json.dumps(result))

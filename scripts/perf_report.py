@@ -81,6 +81,21 @@ def main():
     ks_b = train("bilinear")
     sim_b = Ksim(arm, make_kmpc(ks_b.model, ks_b.scaler, cfg))
 
+    print("== roofline model (shipping blocked config) ==")
+    from koopman_realizations_tpu.utils.roofline import (
+        bilinear_step_cost,
+        roofline_summary,
+    )
+    cost = bilinear_step_cost(sim_b.mpc, arm.cfg)
+    print(json.dumps(cost))
+    # interpret at the recorded bench rate when available
+    bench_sps = float(os.environ.get("ROOFLINE_STEPS_PER_S", "0")) or None
+    if bench_sps:
+        roof = roofline_summary(bench_sps, cost,
+                                getattr(jax.devices()[0], "device_kind", "?"))
+        print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                          for k, v in roof.items()}))
+
     print("== phases (bilinear bench config, B=8192) ==")
     ph = phase_breakdown(sim_b, ref["y"], B=8192, steps=12, reps=10)
     print(json.dumps({k: (round(v["s_per_step"] * 1e3, 3)

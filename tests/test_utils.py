@@ -179,3 +179,54 @@ def test_save_ref_trajectory_roundtrip(tmp_path):
     assert back["T"] == 15.0 and back["Ts"] == 0.05
     np.testing.assert_allclose(back["y"], ref["y"], rtol=1e-15)
     np.testing.assert_allclose(back["t"], ref["t"], rtol=1e-15)
+
+
+def test_roofline_model(arm_dataset):
+    """The analytic roofline model (utils/roofline.py) must track config
+    knobs: FLOPs grow with qp_iters, blocking shrinks both FLOPs and the
+    kernel IO bytes, and the MXU subset is a strict subset of the total."""
+    from koopman_realizations_tpu.config import ArmConfig, MpcConfig
+    from koopman_realizations_tpu.control import make_kmpc
+    from koopman_realizations_tpu.utils.roofline import (
+        bilinear_step_cost,
+        chip_specs,
+        roofline_summary,
+    )
+
+    ks = Ksysid(arm_dataset, SysidConfig(model_type="bilinear",
+                                         obs_type=("poly",), obs_degree=(3,),
+                                         dim_red=True,
+                                         dtype="float32")).train_models()
+
+    def mk(**kw):
+        return make_kmpc(ks.model, ks.scaler, MpcConfig(
+            horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
+            input_slopeConst=1e-1, cost_running=10.0, cost_terminal=100.0,
+            cost_input=(3e-3, 2e-3, 1e-3), proj_idx=(4, 5), **kw))
+
+    acfg = ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1, substeps=3,
+                     newton_iters=2, jac_mode="step")
+    blocked = bilinear_step_cost(
+        mk(qp_iters=3, qp_dual_warm=True, input_blocks=(1, 1, 2, 5)), acfg)
+    unblocked = bilinear_step_cost(mk(qp_iters=3, qp_dual_warm=True), acfg)
+    more_iters = bilinear_step_cost(
+        mk(qp_iters=8, qp_dual_warm=True, input_blocks=(1, 1, 2, 5)), acfg)
+    for c in (blocked, unblocked, more_iters):
+        assert c["flops_total"] > 0
+        assert 0 < c["mxu_flops"] < c["flops_total"]
+        assert 0 < c["bytes_min"] < c["bytes_est"]
+        assert c["flops_total"] == sum(c["flops"].values())
+    assert blocked["flops_total"] < unblocked["flops_total"]
+    assert blocked["bytes_min"] < unblocked["bytes_min"]
+    assert more_iters["flops_total"] > blocked["flops_total"]
+
+    spec = chip_specs("TPU v5 lite")
+    assert spec["known"] and spec["peak_bf16"] == 197e12
+    roof = roofline_summary(19.26e6, blocked, "TPU v5 lite")
+    assert 0 < roof["mfu_vs_bf16_peak"] < 1
+    assert 0 < roof["hbm_frac_est"] < 1
+    assert roof["hbm_gbps_min"] < roof["hbm_gbps_est"]
+    # unknown chips degrade gracefully (no MFU, still absolute numbers)
+    roof_unk = roofline_summary(1e6, blocked, "TPU v99")
+    assert "mfu_vs_bf16_peak" not in roof_unk
+    assert roof_unk["achieved_flops_per_s"] > 0
