@@ -125,7 +125,9 @@ def main():
     err_mean, err_worst = float(lane_err.mean()), float(lane_err.max())
     # every lane must survive: a silent lane loss would inflate steps/s
     # (explicit raise, not assert: python -O must not disable the gate)
-    if alive_frac != 1.0:
+    # BENCH_ALLOW_DEAD=1 bypasses the gate for ABLATION measurements only
+    # (e.g. qp_iters=1 marginal-cost runs); the driver never sets it
+    if alive_frac != 1.0 and not os.environ.get("BENCH_ALLOW_DEAD"):
         raise RuntimeError(f"alive_fraction {alive_frac} != 1.0")
     mpc_steps = batch * (steps - 1)
     steps_per_s = mpc_steps / dt

@@ -41,6 +41,27 @@ from jax.experimental.pallas import tpu as pltpu
 # ~16% faster (in-process A/B at n=27, p=22, iters=3), 512 still fails.
 LANE_TILE = 128
 FACTORED_LANE_TILE = 256
+# The move-BLOCKED factored shape is slimmer still (n=12, mc=48): wider
+# tiles keep compiling and keep winning -- 768 measured 23% faster than
+# 256 (0.703 vs 0.913 ms/solve, B=32768, iters=3, back-to-back in-process
+# slope-fetch sweep; 512=0.78, 1024=0.71 a wash, 2048 fails).  The tile
+# default is therefore shape-aware: see ``factored_tile_for``.
+FACTORED_LANE_TILE_SLIM = 768
+
+
+def factored_tile_for(n: int) -> int:
+    """Measured-optimal lane tile for the factored kernel by decision size.
+
+    n=27 (unblocked bench shape): 256 (512 fails to compile).
+    n=12 (blocked (1,1,2,5) shape): 768.  The boundary is untested between
+    13 and 26; 16 splits it conservatively (VMEM working set scales ~n^2).
+    ``KMPC_FACTORED_TILE`` overrides for A/B experiments.
+    """
+    import os
+    env = os.environ.get("KMPC_FACTORED_TILE")
+    if env:
+        return int(env)
+    return FACTORED_LANE_TILE_SLIM if n <= 16 else FACTORED_LANE_TILE
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -460,7 +481,7 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
 def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
                               interpret: bool = False,
                               tol: float = 3e-3, gap_sane: float = 5e-2,
-                              tile: int = FACTORED_LANE_TILE, band: int = None,
+                              tile: int = None, band: int = None,
                               lam0=None, q0=None):
     """Least-squares-form batched IPM: min ||W x + v||^2_2 + x^T diag(r) x
     (+ q0^T x) s.t. A x <= b, i.e. the dense-form problem with
@@ -479,6 +500,8 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
     b = jnp.asarray(b, jnp.float32)
     B, p, n = W.shape
     mc = A.shape[0]
+    if tile is None:
+        tile = factored_tile_for(n)
 
     row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)        # (mc,)
     A_eq = A / row[:, None]

@@ -31,6 +31,28 @@ def box_slope_A(n, off):
     return np.stack(rows)
 
 
+def blocked_A(blocks=(1, 1, 2, 5), m=3, Np=10):
+    """The REAL move-blocked reduced constraint stack of the shipping
+    config (12 vars, 48 rows, band offset m) via the kmpc builders."""
+    from koopman_realizations_tpu.config import MpcConfig
+    from koopman_realizations_tpu.control.kmpc import (
+        input_constraint_rows,
+        move_blocking,
+    )
+
+    class S:
+        u_factor = np.ones(m)
+
+        def u_down(self, u):
+            return np.asarray(u)
+
+    cfg = MpcConfig(horizon=Np, input_bounds=(-2.7, 2.7),
+                    input_slopeConst=1e-1, input_blocks=blocks)
+    F, cF = input_constraint_rows(cfg, m, Np, S())
+    Tb, Sel, Fr, F0, cr, kept = move_blocking(blocks, m, Np, F, cF)
+    return Fr.astype(np.float32)
+
+
 def main():
     from koopman_realizations_tpu.ops.pallas.qp_ipm import (
         solve_qp_factored_batched,
@@ -39,11 +61,19 @@ def main():
     rng = np.random.default_rng(0)
     B = int(os.environ.get("BENCH_BATCH", "16384"))
     iters = int(os.environ.get("QP_ITERS", "2"))
-    n, p, band = 27, 22, 3
+    if os.environ.get("BLOCKED"):
+        # shipping round-3+ shape: blocked (1,1,2,5) -> n=12 vars, mc=48
+        # rows (real reduced stack), band offset m=3, p=22 residual rows
+        n, p, band = 12, 22, 3
+        A = blocked_A()
+        from koopman_realizations_tpu.ops.qp import band_offset_of
+        assert band_offset_of(A) == band, band_offset_of(A)
+    else:
+        n, p, band = 27, 22, 3
+        A = box_slope_A(n, band)
     W = rng.normal(size=(B, p, n)).astype(np.float32)
     v = rng.normal(size=(B, p)).astype(np.float32)
     rd = (0.01 * np.ones(n)).astype(np.float32)
-    A = box_slope_A(n, band)
     mc = A.shape[0]
     b = (np.abs(rng.normal(size=(B, mc))) + 0.5).astype(np.float32)
     W, v, rd, A, b = map(jnp.asarray, (W, v, rd, A, b))
@@ -64,7 +94,9 @@ def main():
         return f
 
     ks = (2, 16)
-    for tile in (128, 256, 384, 512):
+    tiles = tuple(int(t) for t in os.environ.get(
+        "TILES", "128,256,384,512").split(","))
+    for tile in tiles:
         try:
             walls = {}
             for k in ks:
