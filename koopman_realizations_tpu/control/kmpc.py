@@ -547,7 +547,19 @@ def bilinear_consts(mpc: "BilinearKmpc") -> dict:
                   # held stage still pays its input cost
                   "RdT": jnp.asarray(mpc._Tb.T @ mpc.r_diag[mpc.m:],
                                      jnp.float32)})
-    elif os.environ.get("KMPC_FUSED_ASSEMBLY"):
+        if os.environ.get("KMPC_FUSED_ASSEMBLY") != "0":
+            # blocked ASSEMBLY-FUSED first pass (ships (z, u_prev) to the
+            # kernel; W/v/b build in VMEM against Tb-folded generators).
+            # Default ON for the blocked shape: the unblocked fused kernel
+            # lost 22% (round 3a) because its in-VMEM GEMM + relayout
+            # outweighed the HBM saved, but blocking shrinks the GEMM
+            # 2.25x while W stays 7x larger than (z, u_prev) -- measured
+            # +13% end-to-end at the bench config (21.95M vs 19.43M
+            # steps/s, B=32768, qp=3, tile=768, quality identical; README
+            # round-4 notes).  KMPC_FUSED_ASSEMBLY=0 opts out.
+            c.update({"PGWb": mpc.PGWb, "PAsq": mpc.PAsq, "sqq": mpc.sqq,
+                      "PG0": mpc.PG0})
+    elif os.environ.get("KMPC_FUSED_ASSEMBLY") not in (None, "", "0"):
         # Opt-in: route the first bilinear pass through the assembly-fused
         # kernel (``ops.qp.solve_qp_bilinear``).  OFF by default: the
         # back-to-back full-trajectory A/B at bench shapes (B=16384,
@@ -664,7 +676,20 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
             sol = solve_qp(Pz, fz, Az, bz, iters=qp_iters,
                            x0=x0 if warm else None, shared_A=False,
                            backend=backend, band_offset=band, lam0=lam_init)
-        elif it == 0 and "PGW" in c and c["cFj"].shape[-1] > 0:
+        elif it == 0 and blocked and "PGWb" in c \
+                and c["cFjT"].shape[-1] > 0:
+            # blocked shared-Beta first pass, assembly-fused: the reduced
+            # W_b/v/b are linear in (z, u_prev) against the Tb-folded
+            # generators (see bilinear_consts), so the kernel consumes
+            # (z, u_prev) directly -- no per-lane W materialization,
+            # no lanes-minor transpose of it
+            sol = solve_qp_bilinear(
+                z, u_prev, Yr, c["PGWb"], c["PG0"], c["PAsq"], c["sqq"],
+                c["RdT"], c["FjT"], c["cFjT"], c["F0T"],
+                iters=qp_iters, x0=x0 if warm else None, backend=backend,
+                band_offset=band, lam0=lam_init)
+        elif it == 0 and not blocked and "PGW" in c \
+                and c["cFj"].shape[-1] > 0:
             # shared-Beta first pass: (W, v, b) are linear in (z, u_prev)
             # against the lane-shared PGW/PG0/PAsq generators, so the
             # whole QP assembly fuses into the Pallas kernel prologue
@@ -787,6 +812,15 @@ class BilinearKmpc(_KmpcBase):
         Gs = sq64[:, None, None] * G64
         self.PGW = jnp.asarray(
             Gs[:, self.m:, :].reshape(-1, NL).astype(dt))
+        if self._Tb is not None:
+            # move-blocked fused-assembly generator: the reduced
+            # W_b = (sq CB[:, m:]) Tb is still linear in z, so Tb folds
+            # into the lane-shared constant host-side (f64):
+            # PGWb[(r, c), :] = sum_j Gs[r, m+j, :] Tb[j, c]
+            self.PGWb = jnp.asarray(
+                np.einsum("rjN,jc->rcN", Gs[:, self.m:, :],
+                          np.asarray(self._Tb, np.float64))
+                .reshape(-1, NL).astype(dt))
         self.PG0 = jnp.asarray(np.concatenate(
             [Gs[:, j, :] for j in range(self.m)], axis=0).astype(dt))
         self.PAsq = jnp.asarray(

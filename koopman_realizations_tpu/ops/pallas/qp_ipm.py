@@ -686,7 +686,7 @@ def solve_qp_bilinear_batched(z, u_prev, sqYr, PGW, PG0, PAsq, r_diag,
                               A, cF, F0, x0=None, iters: int = 10,
                               interpret: bool = False,
                               tol: float = 3e-3, gap_sane: float = 5e-2,
-                              tile: int = FACTORED_LANE_TILE,
+                              tile: int = None,
                               band: int = None, lam0=None):
     """Fused bilinear-MPC batched IPM (see ``_bilin_kernel``).
 
@@ -706,6 +706,8 @@ def solve_qp_bilinear_batched(z, u_prev, sqYr, PGW, PG0, PAsq, r_diag,
     mc = A.shape[0]
     p = PAsq.shape[0]
     m = u_prev.shape[1]
+    if tile is None:
+        tile = factored_tile_for(n)
 
     row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)        # (mc,)
     A_eq = A / row[:, None]

@@ -149,16 +149,20 @@ def multiref_floor():
     print(f"{len(refs)} lanes: {len(trajs)} trajs x {n_x0} X0 x "
           f"{len(loads)} loads", flush=True)
 
+    # variant = "iters,warm" (shift follows warm) or "iters,warm,shift"
+    # (explicit, for the shift-on/off A/B at fixed warm -- verdict #7)
     variants = os.environ.get("SWEEP", "10,0 4,1 3,1 2,1")
-    for iters, warm in [tuple(int(x) for x in v.split(","))
-                        for v in variants.split()]:
+    for v in variants.split():
+        parts = tuple(int(x) for x in v.split(","))
+        iters, warm = parts[0], parts[1]
+        shift = parts[2] if len(parts) > 2 else warm
         cfg = mpc_cfg(qp_iters=iters, qp_dual_warm=bool(warm),
-                      qp_dual_shift=bool(warm))
+                      qp_dual_shift=bool(shift))
         sim = Ksim(arm, make_kmpc(ks.model, ks.scaler, cfg))
         out = sim.run_multi_ref(refs, X0, load=W, steps=steps)
         alive = out["alive"][:, -1]
         err = out["err"].mean(axis=1)
-        print(f"bilinear qp={iters:2d} dual_shift={warm}: "
+        print(f"bilinear qp={iters:2d} warm={warm} shift={shift}: "
               f"alive={alive.mean():.4f} err_mean={err.mean():.4f} "
               f"worst={err.max():.4f}", flush=True)
         # per-(traj, load) means at this config
@@ -170,6 +174,67 @@ def multiref_floor():
                       f"alive={alive[sel].mean():.3f}", flush=True)
 
 
+def snake_floor():
+    """Measured iteration floor for the SNAKE fourier model (round-4
+    verdict #4): the library default qp_iters=10 has been justified since
+    round 1 by "the snake fourier model needs the margin" without a
+    recorded sweep.  Model-in-the-loop (no physical snake simulator
+    exists; ``Kmpc.run_simulation`` semantics), B lanes with spread lifted
+    initial states tracking a circle in the first two outputs, qp_iters x
+    dual-warm x blocking grid.  Reference basis: ``Ksysid.m:694-767``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from koopman_realizations_tpu.config import MpcConfig, SysidConfig
+    from koopman_realizations_tpu.control import Ksim, make_kmpc
+    from koopman_realizations_tpu.control.ksim import KoopmanPlant
+    from koopman_realizations_tpu.models.edmd import Ksysid
+    from koopman_realizations_tpu.utils.data import chop, get_data4sysid
+    from koopman_realizations_tpu.utils.matio import load_data4sysid
+
+    ds0 = load_data4sysid("/root/reference/datafiles/snake-data.mat")
+    train = chop(ds0.train[0], num=6, length_s=40.0)
+    val = [ds0.val[0].replace(y=ds0.val[0].y[:500], u=ds0.val[0].u[:500],
+                              t=ds0.val[0].t[:500])]
+    ds = get_data4sysid(train, val)
+    with jax.default_device(jax.devices("cpu")[0]):
+        ks = Ksysid(ds, SysidConfig(model_type="bilinear",
+                                    obs_type=("fourier_sparser",),
+                                    obs_degree=(1,),
+                                    dtype="float32")).train_models()
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    steps = int(os.environ.get("STEPS", "150"))
+    # circle reference in the first two output dims (test_snake config)
+    t = np.linspace(0, 2 * np.pi, 200)
+    y0 = np.asarray(ks.scaler.y_up(np.zeros(3)))
+    ref = np.stack([y0[0] + 0.1 * np.cos(t) - 0.1, y0[1] + 0.1 * np.sin(t)],
+                   axis=1)
+    # spread lifted initial states: zeta perturbations in scaled space
+    rng = np.random.default_rng(0)
+    zetas = 0.15 * rng.standard_normal((B, 3)).astype(np.float32)
+    X0 = np.asarray(jax.vmap(ks.model.basis.lift)(jnp.asarray(zetas)))
+
+    variants = os.environ.get("SWEEP", "10,0 8,0 5,1 4,1 3,1 2,1")
+    for blocks in (None, (1, 1, 2, 5)):
+        for iters, warm in [tuple(int(x) for x in v.split(","))
+                            for v in variants.split()]:
+            cfg = MpcConfig(horizon=10, input_bounds=(-10.0, 10.0),
+                            input_slopeConst=0.5, cost_running=10.0,
+                            cost_terminal=100.0, cost_input=(1e-3,),
+                            proj_idx=(0, 1), qp_iters=iters,
+                            qp_dual_warm=bool(warm),
+                            qp_dual_shift=bool(warm), input_blocks=blocks)
+            sim = Ksim(KoopmanPlant(ks.model, ks.scaler),
+                       make_kmpc(ks.model, ks.scaler, cfg))
+            out = sim.run_batch(ref, X0, steps=steps)
+            alive = out["alive"][:, -1]
+            err = out["err"].mean(axis=1)
+            print(f"snake blocks={blocks} qp={iters:2d} dual={warm}: "
+                  f"alive={alive.mean():.4f} err_mean={err.mean():.4f} "
+                  f"worst={err.max():.4f}", flush=True)
+
+
 def main():
     import jax
 
@@ -179,6 +244,8 @@ def main():
         linear_floor()
     elif mode == "multiref":
         multiref_floor()
+    elif mode == "snake":
+        snake_floor()
     else:
         raise SystemExit(f"unknown MODE={mode}")
 

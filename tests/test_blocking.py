@@ -122,6 +122,23 @@ def test_blocked_rti_regime(arm_dataset, blockM_ref):
     assert e3.mean() <= e10.mean() * 1.05 + 1e-4
 
 
+def test_blocked_fused_assembly_matches_plain(arm_dataset, blockM_ref,
+                                              monkeypatch):
+    """The blocked assembly-fused QP route (bilinear_consts PGWb, default
+    ON; ships (z, u_prev) to the kernel) must reproduce the plain
+    assemble-then-solve route's closed loop."""
+    import numpy as np
+
+    cfg = _cfg(qp_iters=3, qp_dual_warm=True, qp_dual_shift=True,
+               input_blocks=(1, 1, 2, 5))
+    monkeypatch.setenv("KMPC_FUSED_ASSEMBLY", "1")
+    r_f = _sim(arm_dataset, cfg).run_trial_mpc(blockM_ref["y"], steps=60)
+    monkeypatch.setenv("KMPC_FUSED_ASSEMBLY", "0")
+    r_p = _sim(arm_dataset, cfg).run_trial_mpc(blockM_ref["y"], steps=60)
+    np.testing.assert_allclose(np.asarray(r_f["Y"]), np.asarray(r_p["Y"]),
+                               rtol=0, atol=2e-4)
+
+
 def test_blocking_rejects_unsupported():
     with pytest.raises(ValueError):
         move_blocking((1, 2), 3, 10, np.zeros((0, 30)), np.zeros(0))

@@ -108,6 +108,64 @@ def test_observer_recovers_load_and_improves_tracking(loaded_setup):
     assert res1["err"].mean() < 0.1
 
 
+def _rti_grid(arm, ks, cfg, use_obs: bool):
+    mpc = make_kmpc(ks.model, ks.scaler, cfg)
+    obs = make_load_observer(ks.model, cfg) if use_obs else None
+    sim = Ksim(arm, mpc, observer=obs)
+    circle = get_circle([0.0, -0.7], 0.3)
+    ref = make_trajectory(circle, T=15.0, Ts=0.05, flip_y=True,
+                          preamble_from=(0.0, 1.0))
+    X0s, Ws = [], []
+    for ld in ((0.9, -0.6), (0.4, 0.2), (0.0, 0.0)):   # spanning load cases
+        for x00 in (-0.15, 0.15):
+            x0 = np.zeros(4)
+            x0[0] = x00
+            X0s.append(x0)
+            Ws.append(ld)
+    out = sim.run_batch(ref["y"], np.stack(X0s), load=np.asarray(Ws),
+                        steps=200)
+    return out["alive"][:, -1], out["err"].mean(axis=1)
+
+
+def test_observer_at_rti_regime_loaded_floor(loaded_setup):
+    """Observer ON at the blocked RTI regime (round-4 verdict #3), with the
+    MEASURED loaded-model floor.  Swept finding (this grid, 6 lanes =
+    3 load cases x X0 spread, 200 steps): the qp_iters=3 + dual warm +
+    stage shift regime that ships for the UNLOADED bench kills lanes on
+    loaded models -- observer ON (dead lane at qp=3) and, notably, even
+    observer OFF (2 dead lanes), so the fragility is the warm-started
+    duals on the loaded lifted state (NL = 3N, larger dynamic range), not
+    the estimate-update interaction alone.  Both measured floors hold
+    alive 1.0 at converged-class tracking (qp15 reference err 0.028):
+
+      qp_iters=5 + dual warm + shift + blocking   (err 0.027)
+      qp_iters=3 NO dual warm    + blocking       (err 0.031)
+
+    The library default (qp_iters=10, no warm) keeps ample margin.
+    """
+    import dataclasses
+
+    arm, ks, _ = loaded_setup
+    # floor A: dual-warm regime needs qp_iters=5 on loaded models
+    cfgA = dataclasses.replace(_mpc_cfg(), qp_iters=5, qp_dual_warm=True,
+                               qp_dual_shift=True, input_blocks=(1, 1, 2, 5))
+    aliveA, errA = _rti_grid(arm, ks, cfgA, use_obs=True)
+    assert aliveA.all(), f"lanes died (qp5+warm): {np.where(~aliveA)[0]}"
+    # floor B: qp_iters=3 holds without the dual warm start
+    cfgB = dataclasses.replace(_mpc_cfg(), qp_iters=3,
+                               input_blocks=(1, 1, 2, 5))
+    aliveB, errB = _rti_grid(arm, ks, cfgB, use_obs=True)
+    assert aliveB.all(), f"lanes died (qp3 nowarm): {np.where(~aliveB)[0]}"
+    # converged-class tracking on every lane for both floors
+    cfgR = dataclasses.replace(_mpc_cfg(), qp_iters=15)
+    aliveR, errR = _rti_grid(arm, ks, cfgR, use_obs=True)
+    assert aliveR.all()
+    for err in (errA, errB):
+        assert err.max() < 0.12, err
+        assert err.mean() <= errR.mean() * 1.25 + 1e-4, (err.mean(),
+                                                         errR.mean())
+
+
 def test_observer_slope_constraint(loaded_setup):
     """``load_obs_slope``: each update moves the estimate at most +-slope
     from the previous one (``Kmpc.m:1336-1345``, reference value 0.01)."""

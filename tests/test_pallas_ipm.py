@@ -349,6 +349,70 @@ def test_kernel_bilinear_fused_matches_factored():
     assert np.median(dl) < 1e-3 * max(1.0, np.abs(np.asarray(lam_f)).max())
 
 
+def test_kernel_bilinear_fused_matches_factored_blocked_shape():
+    """Same fused-vs-factored parity at the SHIPPING move-blocked shape:
+    n=12 reduced moves, the REAL deduplicated 48-row constraint stack
+    (band offset m=3), Tb-folded generators (round-4 blocked fused
+    route, ``bilinear_consts`` PGWb)."""
+    from koopman_realizations_tpu.config import MpcConfig
+    from koopman_realizations_tpu.control.kmpc import (
+        input_constraint_rows,
+        move_blocking,
+    )
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_bilinear_batched,
+        solve_qp_factored_batched,
+    )
+
+    mI, Np, blocks = 3, 10, (1, 1, 2, 5)
+    cfg = MpcConfig(horizon=Np, input_bounds=(-2.7, 2.7),
+                    input_slopeConst=1e-1, input_blocks=blocks)
+
+    class S:
+        u_factor = np.ones(mI)
+
+        def u_down(self, u):
+            return np.asarray(u)
+
+    F, cF = input_constraint_rows(cfg, mI, Np, S())
+    _, _, Fr, F0r, cr, _ = move_blocking(blocks, mI, Np, F, cF)
+    n = Fr.shape[1]
+    mc = Fr.shape[0]
+    B, p, NL = 96, 22, 34
+    rng = np.random.default_rng(77)
+    PGW = rng.normal(size=(p * n, NL)).astype(np.float32) * 0.3
+    PG0 = rng.normal(size=(mI * p, NL)).astype(np.float32) * 0.3
+    PAsq = rng.normal(size=(p, NL)).astype(np.float32) * 0.3
+    sqYr = rng.normal(size=(p,)).astype(np.float32)
+    r = (np.abs(rng.normal(size=n)) * 0.05).astype(np.float32)
+    z = rng.normal(size=(B, NL)).astype(np.float32) * 0.3
+    up = rng.normal(size=(B, mI)).astype(np.float32) * 0.2
+    x0 = jnp.zeros((B, n), jnp.float32)
+    lam0 = jnp.ones((B, mc), jnp.float32)
+
+    W = np.einsum("rk,bk->br", PGW, z).reshape(B, p, n)
+    CB0 = np.einsum("rk,bk->br", PG0, z).reshape(B, mI, p).transpose(0, 2, 1)
+    v = np.einsum("pk,bk->bp", PAsq, z) - sqYr[None] \
+        + np.einsum("bpm,bm->bp", CB0, up)
+    b = cr[None].astype(np.float32) - up @ F0r.T.astype(np.float32)
+
+    x_f, lam_f, ok_f, _ = solve_qp_factored_batched(
+        jnp.asarray(W), jnp.asarray(v), jnp.asarray(r),
+        jnp.asarray(Fr, jnp.float32), jnp.asarray(b), x0=x0, iters=16,
+        band=mI, lam0=lam0, interpret=True)
+    x_b, lam_b, ok_b, _ = solve_qp_bilinear_batched(
+        jnp.asarray(z), jnp.asarray(up), jnp.asarray(sqYr),
+        jnp.asarray(PGW), jnp.asarray(PG0), jnp.asarray(PAsq),
+        jnp.asarray(r), jnp.asarray(Fr, jnp.float32),
+        jnp.asarray(cr, jnp.float32), jnp.asarray(F0r, jnp.float32),
+        x0=x0, iters=16, band=mI, lam0=lam0, interpret=True)
+    okm = np.asarray(ok_f) & np.asarray(ok_b)
+    assert okm.mean() > 0.9
+    dx = np.abs(np.asarray(x_b) - np.asarray(x_f))[okm]
+    assert np.median(dx) < 5e-5
+    assert dx.max() < 5e-3
+
+
 def test_solve_qp_bilinear_routing_matches_pure(rng=None):
     """The custom_vmap routing of ``ops.qp.solve_qp_bilinear`` (vmapped over
     lanes on CPU -> pure fallback) must equal per-lane unbatched solves, and
