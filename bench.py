@@ -66,8 +66,10 @@ def main():
     # needs qp_iters=3 (blocked qp=2 degrades err ~13%); the retired
     # UNBLOCKED config's floor was qp_iters=2 with dual shift (11.2M
     # steps/s round 2), and unblocked qp_iters=1 collapses (alive 0.87).
-    # The library default stays qp_iters=10, unblocked, for margin on
-    # harder bases (snake fourier).
+    # The library default is qp_iters=12, unblocked: the MEASURED snake-
+    # fourier floor (round 4, rti_floor_sweep MODE=snake -- unblocked
+    # qp=10 loses 16% of a 0.15-spread grid; 12 is the smallest
+    # all-alive count, blocked holds at 10).
     blocks_env = os.environ.get("BENCH_BLOCKS", "1,1,2,5")  # "" = unblocked
     blocks = tuple(int(b) for b in blocks_env.split(",")) if blocks_env \
         else None

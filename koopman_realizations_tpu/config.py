@@ -88,11 +88,18 @@ class MpcConfig:
     # end effector; here we give the row indices into y instead.
     proj_idx: Optional[Tuple[int, ...]] = None
     # solver knobs (no reference counterpart: quadprog/fmincon internals)
-    qp_iters: int = 10                   # interior-point iterations: 8
-                                         # matches arm golden parity (the
-                                         # bench uses it, alive=1.0), but
-                                         # harder models (snake fourier
-                                         # basis) need the margin of 10
+    qp_iters: int = 12                   # interior-point iterations: 8
+                                         # matches arm golden parity, and
+                                         # the bilinear bench holds golden
+                                         # quality at 3 (blocked + dual
+                                         # warm).  The default is the
+                                         # MEASURED snake-fourier floor
+                                         # (round 4, rti_floor_sweep
+                                         # MODE=snake, 64-lane 0.15-spread
+                                         # grid): unblocked qp=10 loses
+                                         # 16% of lanes, qp=12 is the
+                                         # smallest all-alive count
+                                         # (blocked holds at 10)
     qp_backend: str = "auto"             # 'auto': lanes-minor Pallas IPM for
                                          # batched shared-A solves on TPU;
                                          # 'jax': force the pure-JAX path

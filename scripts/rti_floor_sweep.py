@@ -212,7 +212,8 @@ def snake_floor():
                    axis=1)
     # spread lifted initial states: zeta perturbations in scaled space
     rng = np.random.default_rng(0)
-    zetas = 0.15 * rng.standard_normal((B, 3)).astype(np.float32)
+    spread = float(os.environ.get("SPREAD", "0.15"))
+    zetas = spread * rng.standard_normal((B, 3)).astype(np.float32)
     X0 = np.asarray(jax.vmap(ks.model.basis.lift)(jnp.asarray(zetas)))
 
     variants = os.environ.get("SWEEP", "10,0 8,0 5,1 4,1 3,1 2,1")
@@ -230,14 +231,27 @@ def snake_floor():
             out = sim.run_batch(ref, X0, steps=steps)
             alive = out["alive"][:, -1]
             err = out["err"].mean(axis=1)
+            # death-step distribution: first step whose alive flag is
+            # False per dead lane (start-infeasible vs late drift)
+            dead = ~alive
+            if dead.any():
+                first = np.argmin(out["alive"], axis=1)[dead]
+                dd = (f" death_steps p10/50/90="
+                      f"{np.percentile(first, [10, 50, 90]).astype(int)}")
+            else:
+                dd = ""
             print(f"snake blocks={blocks} qp={iters:2d} dual={warm}: "
                   f"alive={alive.mean():.4f} err_mean={err.mean():.4f} "
-                  f"worst={err.max():.4f}", flush=True)
+                  f"worst={err.max():.4f}{dd}", flush=True)
 
 
 def main():
     import jax
 
+    if os.environ.get("FORCE_CPU"):
+        # run the quality grid on the local CPU (e.g. while the TPU pool
+        # is claimed); pair with `env -u PALLAS_AXON_POOL_IPS`
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     mode = os.environ.get("MODE", "linear")
     if mode == "linear":
