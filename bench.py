@@ -59,9 +59,14 @@ def main():
     # golden-class tracking (CPU + 192-lane TPU multi-ref grids: blocked
     # qp=3+dual shift err 0.0188 vs 0.0186 for the old unblocked qp=2
     # config, alive 1.0 in every scenario cell), and qp_iters=3 + the
-    # stage-SHIFTED dual warm start holds the bench workload at
-    # err_mean 0.0207 / worst lane 0.0286 (vs 0.0203 golden mean and the
-    # old config's 0.0349 worst).  Iteration cliffs PER REGIME (they move
+    # dual warm start holds the bench workload at err_mean 0.0207 /
+    # worst lane 0.0286 (vs 0.0203 golden mean and the old config's
+    # 0.0349 worst).  The STAGE SHIFT is dropped blocked (round-4
+    # verdict #7 A/B: 192-lane multi-ref grid shift-on 0.0188 vs
+    # shift-off 0.0187, identical alive -- the shift is a heuristic for
+    # the 5-long tail group and buys nothing; it remains REQUIRED for
+    # the retired UNBLOCKED qp=2 config).  Iteration cliffs PER REGIME
+    # (they move
     # with the kernel shape -- re-measure after kernel changes): blocked
     # needs qp_iters=3 (blocked qp=2 degrades err ~13%); the retired
     # UNBLOCKED config's floor was qp_iters=2 with dual shift (11.2M
@@ -75,7 +80,7 @@ def main():
         else None
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
         horizon=10, qp_iters=int(os.environ.get("BENCH_QP_ITERS", "3")),
-        qp_dual_warm=True, qp_dual_shift=True,
+        qp_dual_warm=True, qp_dual_shift=False,
         input_blocks=blocks,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1,

@@ -38,8 +38,8 @@ def main():
                          "arm-3link-markers-noload-50trials_train-10_val-5.mat")
     ref = load_ref_trajectory("/root/reference/trajectories/files/"
                               "blockM_c0p45-0p35_0p5x0p5_15sec.mat")
-    # the SHIPPING bench configuration (bench.py, round 3: move blocking
-    # (1,1,2,5) + qp_iters=3 + stage-shifted dual warm, verified
+    # the SHIPPING bench configuration (bench.py, round 4: move blocking
+    # (1,1,2,5) + qp_iters=3 + dual warm (shift dropped: neutral blocked), verified
     # golden-class tracking, alive 1.0; qp_dual_warm is a no-op for the
     # NMPC controller)
     cfg = MpcConfig(horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
@@ -47,7 +47,7 @@ def main():
                     cost_terminal=100.0,
                     cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2),
                     proj_idx=(4, 5), qp_iters=3, qp_dual_warm=True,
-                    qp_dual_shift=True, input_blocks=(1, 1, 2, 5))
+                    qp_dual_shift=False, input_blocks=(1, 1, 2, 5))
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
                         output_type="markers", substeps=3, newton_iters=2,
                         jac_mode="step"))

@@ -110,7 +110,6 @@ def test_blocked_rti_regime(arm_dataset, blockM_ref):
     converged blocked run -- the CI pin of the round-3 multi-ref finding."""
     sim10 = _sim(arm_dataset, _cfg(qp_iters=10, input_blocks=(1, 1, 2, 5)))
     sim3 = _sim(arm_dataset, _cfg(qp_iters=3, qp_dual_warm=True,
-                                  qp_dual_shift=True,
                                   input_blocks=(1, 1, 2, 5)))
     X0 = np.zeros((4, 6))
     X0[:, 0] = np.linspace(-0.2, 0.2, 4)
@@ -129,7 +128,7 @@ def test_blocked_fused_assembly_matches_plain(arm_dataset, blockM_ref,
     assemble-then-solve route's closed loop."""
     import numpy as np
 
-    cfg = _cfg(qp_iters=3, qp_dual_warm=True, qp_dual_shift=True,
+    cfg = _cfg(qp_iters=3, qp_dual_warm=True,
                input_blocks=(1, 1, 2, 5))
     monkeypatch.setenv("KMPC_FUSED_ASSEMBLY", "1")
     r_f = _sim(arm_dataset, cfg).run_trial_mpc(blockM_ref["y"], steps=60)

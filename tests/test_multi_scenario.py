@@ -92,19 +92,22 @@ def test_batch_matches_single_with_nonzero_x0(arm_dataset, blockM_ref):
                                    rtol=0, atol=1e-5)
 
 
-@pytest.mark.parametrize("blocks,qp_iters", [
-    (None, 2),           # the retired round-2 unblocked RTI floor
-    ((1, 1, 2, 5), 3),   # the SHIPPING blocked bench config (round 3)
+@pytest.mark.parametrize("blocks,qp_iters,shift", [
+    (None, 2, True),            # retired round-2 unblocked floor: the
+                                # stage shift is REQUIRED there
+    ((1, 1, 2, 5), 3, False),   # SHIPPING blocked bench config (round 4:
+                                # shift dropped, A/B-neutral blocked)
 ], ids=["unblocked-qp2", "blocked-qp3"])
 def test_multi_ref_rti_floor_config(arm_dataset, blockM_ref, blocks,
-                                    qp_iters):
-    """The bilinear RTI regimes (dual warm + stage shift, bench.py) must
-    hold every-lane survival and near-qp=10 tracking across trajectories x
-    initial conditions x unmodeled loads -- the CI-sized version of
+                                    qp_iters, shift):
+    """The bilinear RTI regimes (dual warm, bench.py) must hold every-lane
+    survival and near-qp=10 tracking across trajectories x initial
+    conditions x unmodeled loads -- the CI-sized version of
     scripts/rti_floor_sweep.py MODE=multiref (round-3 verdict #3).
-    TPU-measured full-grid references (192 lanes, 301 steps): unblocked
-    qp=2 alive 1.0, err_mean 0.0186 vs 0.0179 at qp=10, worst 0.0387;
-    blocked (1,1,2,5) qp=3 err_mean 0.0188, alive 1.0 everywhere."""
+    Measured full-grid references (192 lanes, 301 steps): unblocked
+    qp=2+shift alive 1.0, err_mean 0.0186 vs 0.0179 at qp=10, worst
+    0.0387; blocked (1,1,2,5) qp=3 err_mean 0.0187 (shift off; round-4
+    A/B: shift-on 0.0188 -- neutral), alive 1.0 everywhere."""
     ks = Ksysid(arm_dataset, SysidConfig(model_type="bilinear",
                                          obs_type=("poly",), obs_degree=(3,),
                                          dim_red=True)).train_models()
@@ -112,7 +115,7 @@ def test_multi_ref_rti_floor_config(arm_dataset, blockM_ref, blocks,
         horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1, cost_running=10.0, cost_terminal=100.0,
         cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2), proj_idx=(4, 5),
-        qp_iters=qp_iters, qp_dual_warm=True, qp_dual_shift=True,
+        qp_iters=qp_iters, qp_dual_warm=True, qp_dual_shift=shift,
         input_blocks=blocks))
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
                         output_type="markers", substeps=3, newton_iters=2,
