@@ -97,7 +97,6 @@ def main():
                             output_type="markers", substeps=3, newton_iters=2,
                             jac_mode="step"))
         if no_qp:
-            n_con = mpc.n_con
             Np, m = mpc.Np, mpc.m
 
             def fake_solve(z, u_prev, refhor, U_init=None, lam_init=None):
