@@ -40,6 +40,7 @@ from koopman_realizations_tpu.ops.qp import (
     solve_qp,
     solve_qp_bilinear,
     solve_qp_factored,
+    solve_qp_nmpc,
 )
 
 
@@ -1042,13 +1043,18 @@ class NonlinearKmpc(_KmpcBase):
             group_of = None
             self._nU = self.Np * self.m
         Emb = np.zeros((self.Np, self.m, self._nU), np.float32)
+        cols = []
         for k in range(self.Np):
             if k == 0 or group_of is None:
                 c0 = k * self.m
             else:
                 c0 = self.m + int(group_of[k - 1]) * self.m
             Emb[k, :, c0:c0 + self.m] = np.eye(self.m)
+            cols.append(c0)
         self._Emb = jnp.asarray(Emb)
+        # static per-stage decision-column table for the condensation-fused
+        # kernel path (ops.qp.solve_qp_nmpc)
+        self._cols = tuple(cols)
         # projection acts on the first n state dims (Kmpc.m:924)
         self.Cz = jnp.asarray(self.projmtx[:, : self.n])
         E, cE = state_constraint_rows(cfg, self.n, self.n, self.Np, scaler)
@@ -1143,6 +1149,29 @@ class NonlinearKmpc(_KmpcBase):
         sz = jnp.concatenate([s0[None], ss], axis=0)      # (Np+1, nz)
         return Sz, sz, (jac_z, jac_u)
 
+    def _stage_lin(self, Zl, Ul, frozen=None, Fv=None):
+        """Per-stage linearization WITHOUT the sensitivity scan: returns
+        (jac_z, jac_u, cv) for the condensation-fused kernel path
+        (``ops.qp.solve_qp_nmpc`` runs the S-recursion in VMEM).  With
+        ``frozen = (jac_z, jac_u)`` the Jacobians are reused (chord
+        passes); cv is always fresh at the new linearization point."""
+        with jax.default_matmul_precision("high"):
+            nz = self.nz
+            if frozen is None:
+                if self.J_fn is not None:
+                    J = jax.vmap(self.J_fn)(Zl, Ul)      # (Np, nz, nz+m)
+                    jac_z, jac_u = J[..., :nz], J[..., nz:]
+                else:
+                    jac_z = jax.vmap(jax.jacfwd(self.F_fn, argnums=0))(Zl, Ul)
+                    jac_u = jax.vmap(jax.jacfwd(self.F_fn, argnums=1))(Zl, Ul)
+            else:
+                jac_z, jac_u = frozen
+            if Fv is None:
+                Fv = jax.vmap(self.F_fn)(Zl, Ul)
+            cv = Fv - jnp.einsum("kij,kj->ki", jac_z, Zl) \
+                    - jnp.einsum("kij,kj->ki", jac_u, Ul)
+            return jac_z, jac_u, cv
+
     def _condense_stale(self, Zl, Ul, zeta0, frozen, Fv=None):
         """Affine-only re-condensation about frozen Jacobians.
 
@@ -1214,17 +1243,36 @@ class NonlinearKmpc(_KmpcBase):
         # cold lam = 1 -- same pattern as the bilinear iters>1 loop
         jac_period = max(1, int(self.cfg.sqp_jac_period))
         frozen = None
+        # condensation-fused kernel path (ops.qp.solve_qp_nmpc): the
+        # sensitivity recursion + W/v assembly run inside the QP kernel,
+        # so only the per-stage Jacobians/defects ship per lane.  The XLA
+        # condensation's batched-small matmuls + stacked (B, Np+1, n, nU)
+        # HBM round trips were the NMPC batch-scaling wall (+53% per-lane
+        # 2048 -> 8192 while the kernel scales flat).  Needs the factored
+        # (no state bounds) shape; the 'linear' between-pass update needs
+        # the explicit Sz and keeps the XLA path.
+        fused = self.E.shape[0] == 0 and self.cfg.sqp_update != "linear"
         for it in range(self.cfg.sqp_iters):
-            if it % jac_period == 0:
-                Sz, sz, jacs = self._condense(Zl, Ul, zeta,
-                                              return_jacs=True, Fv=Fv)
-                frozen = (jacs[0], jacs[1], Sz)
+            if fused:
+                if it % jac_period == 0:
+                    jz, ju, cvv = self._stage_lin(Zl, Ul, Fv=Fv)
+                    frozen = (jz, ju)
+                else:
+                    jz, ju, cvv = self._stage_lin(Zl, Ul, frozen=frozen,
+                                                  Fv=Fv)
+                Sy = sy = None
             else:
-                Sz, sz = self._condense(Zl, Ul, zeta, frozen=frozen, Fv=Fv)
-            # predicted tracked outputs: y_k = Cz zeta_k[:n]
-            Sy = jnp.einsum("pi,kij->kpj", self.Cz, Sz[:, : n, :]) \
-                .reshape((Np + 1) * self.nproj, self._nU)
-            sy = (sz[:, : n] @ self.Cz.T).reshape(-1)
+                if it % jac_period == 0:
+                    Sz, sz, jacs = self._condense(Zl, Ul, zeta,
+                                                  return_jacs=True, Fv=Fv)
+                    frozen = (jacs[0], jacs[1], Sz)
+                else:
+                    Sz, sz = self._condense(Zl, Ul, zeta, frozen=frozen,
+                                            Fv=Fv)
+                # predicted tracked outputs: y_k = Cz zeta_k[:n]
+                Sy = jnp.einsum("pi,kij->kpj", self.Cz, Sz[:, : n, :]) \
+                    .reshape((Np + 1) * self.nproj, self._nU)
+                sy = (sz[:, : n] @ self.Cz.T).reshape(-1)
             # Levenberg damping rho ||U - U_lin||^2: the undamped Gauss-Newton
             # step can converge to an input-saturated local optimum during
             # transients (fmincon's line search avoids it); rho trades the
@@ -1246,6 +1294,32 @@ class NonlinearKmpc(_KmpcBase):
                                x0=Ul[1:].reshape(-1), shared_A=False,
                                backend=self.cfg.qp_backend,
                                band_offset=self._band, lam0=lam_carry)
+            elif fused:
+                sq = jnp.sqrt(self.Qd)
+                sqRef = sq * ref.reshape(-1)
+                if self._Tb is not None:
+                    sol = solve_qp_nmpc(
+                        jz, ju, cvv, zeta, u_prev, sq, sqRef, self.Cz,
+                        self._RdTj + rho * self._bsizes,
+                        self._Azj, self._cFzj, self._F0j, self._cols,
+                        iters=self.cfg.qp_iters,
+                        x0=self._Selj @ Ul[1:].reshape(-1),
+                        q0=None if rho == 0.0
+                        else -2.0 * rho * (self._Tbj.T
+                                           @ Ul[1:].reshape(-1)),
+                        lam0=lam_carry, backend=self.cfg.qp_backend,
+                        band_offset=self._band)
+                else:
+                    sol = solve_qp_nmpc(
+                        jz, ju, cvv, zeta, u_prev, sq, sqRef, self.Cz,
+                        self.Rd[m:] + rho,
+                        self.Fj[:, m:], self.cFj, self.Fj[:, :m],
+                        self._cols, iters=self.cfg.qp_iters,
+                        x0=Ul[1:].reshape(-1),
+                        q0=None if rho == 0.0
+                        else -2.0 * rho * Ul.reshape(-1)[m:],
+                        lam0=lam_carry, backend=self.cfg.qp_backend,
+                        band_offset=self._band)
             else:
                 # factored form: the reduced Hessian is
                 # 2 (W^T W + diag(Rd[m:] + rho)) with W = sqrt(Q) Sy_z; the

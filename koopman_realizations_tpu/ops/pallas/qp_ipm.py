@@ -679,6 +679,282 @@ def _bilin_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p, m,
     lam_ref[...] = lam
 
 
+def _nmpc_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, has_q0,
+                 Np, nz, nstate, m, nproj, cols,
+                 jz_ref, ju_ref, cv_ref, S0_ref, z0_ref, up_ref, x0_ref,
+                 CzS_ref, sqRef_ref, rdiag_ref,
+                 cFr_ref, F0r_ref, A_ref, At_ref, *rest):
+    """Fused NMPC-pass tile: SENSITIVITY CONDENSATION + assembly + the full
+    interior point.
+
+    The SQP's per-pass condensation (S_{k+1} = A_k S_k + B_k Emb_k, then
+    W = sqrt(Q) Cz S stacked) is a chain of batched-SMALL (nz x nz) x
+    (nz x nU) matmuls plus stacked (B, Np+1, n, nU) HBM round trips in
+    XLA -- measured as the NMPC's batch-scaling wall (in-loop ablation:
+    per-lane cost +53% from B=2048 to 8192 while the QP kernel itself
+    scales flat).  Here the whole recursion runs lanes-minor in VMEM:
+    per-lane inputs are just the stage Jacobians (jz (Np*nz, nz, T),
+    ju (Np*nz, m, T)), defect offsets cv (Np*nz, T), u_prev, and warm
+    starts; ``cols`` is the STATIC decision-column offset each stage's
+    B_k writes into (move blocking folds to repeated offsets).  The
+    recursion tracks S over the full [u0 | reduced moves] column space
+    (nU = m + n); the u0 columns fold into v exactly as the XLA path's
+    ``Sy[:, :m] @ u_prev``.  Then the factored Gram + Mehrotra loop of
+    ``_ipm_kernel`` run unchanged.
+    """
+    T = tile
+    reg = jnp.float32(1e-7)
+    nU = m + n
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (rowi == coli).astype(jnp.float32)
+
+    x_ref, s_ref, lam_ref, obj_ref = rest[-4:]
+    jz = jz_ref[...]                                   # (Np*nz, nz, T)
+    ju = ju_ref[...]                                   # (Np*nz, m, T)
+    cv = cv_ref[...]                                   # (Np*nz, T)
+    up = up_ref[...]                                   # (m, T)
+    CzS = CzS_ref[...]                                 # (p, nstate) sq-folded
+    sqRef = sqRef_ref[...]                             # (p, 1)
+
+    # ---- in-VMEM condensation ------------------------------------------
+    # S_0 = 0, s_0 = zeta (the affine part carries the current state).
+    # All coefficient reads are VECTOR slices (CzS[:, i], Az[:, j, :]):
+    # Mosaic rejects 0-d scalar extractions from VMEM blocks.  S_0 ships
+    # as a REAL per-lane zero buffer instead of jnp.zeros: chaining the
+    # recursion onto a constant-zero 3D value lets XLA partially fold the
+    # early stages into a broadcast shape Mosaic cannot lower (bisected
+    # `Check failed: limits[i] <= dim(i)` on v5e); loaded data is opaque
+    # to the folder.
+    S = S0_ref[...]                                    # (nz, nU, T) zeros
+    s = z0_ref[...]                                    # (nz, T)
+    W_rows, v_rows = [], []
+    for k in range(Np + 1):
+        Ck = CzS[k * nproj:(k + 1) * nproj, :]         # (nproj, nstate)
+        # projected rows: P_k = sum_i Ck[:, i] (x) S[i]  (sq pre-folded).
+        # The coefficient columns are materialized to (nproj, T) FIRST:
+        # Mosaic rejects the (nproj, 1, 1) double-broadcast product
+        # (bisected on v5e: `Check failed: limits[i] <= dim(i)`), while
+        # (a, 1, T) x (1, b, T) rank-1 products are the supported pattern
+        # (same as the Cholesky downdates).
+        ck = jnp.broadcast_to(Ck[:, 0][:, None], (nproj, T))
+        Pk = ck[:, None, :] * S[0][None, :, :]
+        sk = ck * s[0][None, :]
+        for i in range(1, nstate):
+            ck = jnp.broadcast_to(Ck[:, i][:, None], (nproj, T))
+            Pk = Pk + ck[:, None, :] * S[i][None, :, :]
+            sk = sk + ck * s[i][None, :]
+        vk = sk - sqRef[k * nproj:(k + 1) * nproj, :]  # (nproj, T)
+        for j in range(m):
+            vk = vk + Pk[:, j, :] * up[j][None, :]     # u0-block fold
+        for r in range(nproj):
+            W_rows.append(Pk[r, m:, :])                # (n, T)
+            v_rows.append(vk[r])                       # (T,)
+        if k < Np:
+            Az = jz[k * nz:(k + 1) * nz]               # (nz, nz, T)
+            Au = ju[k * nz:(k + 1) * nz]               # (nz, m, T)
+            cvk = cv[k * nz:(k + 1) * nz]              # (nz, T)
+            S1 = Az[:, 0, :][:, None, :] * S[0][None, :, :]
+            s1 = Az[:, 0, :] * s[0][None, :]
+            for j in range(1, nz):
+                S1 = S1 + Az[:, j, :][:, None, :] * S[j][None, :, :]
+                s1 = s1 + Az[:, j, :] * s[j][None, :]
+            c0 = cols[k]
+            parts = []                         # skip zero-width slices
+            if c0 > 0:
+                parts.append(S1[:, :c0, :])
+            parts.append(S1[:, c0:c0 + m, :] + Au)
+            if c0 + m < nU:
+                parts.append(S1[:, c0 + m:, :])
+            S = parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=1)
+            s = s1 + cvk
+
+    # ---- factored Gram + objective scale (as the factored kernel) -------
+    rdiag_obj = rdiag_ref[0, :]                        # (n,) shared
+    P = (eye * (2.0 * rdiag_obj)[None, :])[..., None]
+    qv = jnp.zeros((n, T), jnp.float32)
+    for Wr, vr in zip(W_rows, v_rows):
+        P = P + 2.0 * (Wr[:, None, :] * Wr[None, :, :])
+        qv = qv + Wr * vr[None, :]
+    qv = 2.0 * qv
+    if has_q0:
+        qv = qv + rest[1 if band is None else 2][...]
+    obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(0, 1)), 1e-8)   # (T,)
+    iobj = 1.0 / obj
+    obj_ref[...] = obj[None, :]
+    Pr = P * iobj[None, None, :] + reg * eye[..., None]
+    q = qv * iobj[None, :]
+
+    b = jnp.broadcast_to(cFr_ref[...], (mc, T))
+    F0r = F0r_ref[...]                                 # (mc, m)
+    for j in range(m):
+        b = b - F0r[:, j][:, None] * up[j][None, :]
+
+    A = A_ref[...]
+    At = At_ref[...]
+    form_AtDA = _make_form_AtDA(band, n, T, rest, eye, rowi, coli)
+
+    x0 = x0_ref[...]
+    if warm_dual:
+        lam0 = jnp.sqrt(jnp.clip(rest[-5][...] * iobj[None, :], 1e-4, 1e4))
+    else:
+        lam0 = jnp.ones((mc, T), jnp.float32)
+
+    x, s_sl, lam = _mehrotra_loop(n, mc, iters, slack_floor, Pr, q, b, A,
+                                  At, form_AtDA, x0, lam0)
+    x_ref[...] = x
+    s_ref[...] = s_sl
+    lam_ref[...] = lam
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "interpret", "tol", "gap_sane",
+                                    "tile", "band", "Np", "nz", "nstate",
+                                    "nproj", "cols"))
+def solve_qp_nmpc_batched(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag,
+                          A, cF, F0, x0=None, q0=None, lam0=None, *,
+                          Np: int, nz: int, nstate: int, nproj: int,
+                          cols: tuple, iters: int = 10,
+                          interpret: bool = False,
+                          tol: float = 3e-3, gap_sane: float = 5e-2,
+                          tile: int = None, band: int = None):
+    """Condensation-fused NMPC batched IPM (see ``_nmpc_kernel``).
+
+    Per-lane: jz (B, Np, nz, nz) / ju (B, Np, nz, m) stage Jacobians,
+    cv (B, Np, nz) defect offsets, zeta (B, nz) the current state (the
+    affine recursion's start), u_prev (B, m), x0/q0/lam0 warm starts /
+    Levenberg linear term.  Lane-shared: sq (p,) = sqrt of the stacked Q
+    diagonal, sqRef (p,) = sq * stacked reference window (traced per
+    step), Cz (nproj, nstate) output projection, r_diag (n,) the
+    R + Levenberg diagonal, A (mc, n) reduced constraint rows with
+    b = cF - F0 @ u_prev; ``cols`` the static per-stage decision-column
+    offsets (Emb placement).  Lane-for-lane equivalent to the XLA
+    condensation + ``solve_qp_factored_batched``.
+    """
+    jz = jnp.asarray(jz, jnp.float32)
+    ju = jnp.asarray(ju, jnp.float32)
+    cv = jnp.asarray(cv, jnp.float32)
+    zeta = jnp.asarray(zeta, jnp.float32)
+    u_prev = jnp.asarray(u_prev, jnp.float32)
+    A = jnp.asarray(A, jnp.float32)
+    B = jz.shape[0]
+    n = A.shape[1]
+    mc = A.shape[0]
+    m = u_prev.shape[1]
+    p = (Np + 1) * nproj
+    nU_cols = n + m
+    if tile is None:
+        tile = factored_tile_for(n)
+
+    row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)        # (mc,)
+    A_eq = A / row[:, None]
+    cFr = jnp.asarray(cF, jnp.float32) / row
+    F0r = jnp.asarray(F0, jnp.float32) / row[:, None]
+    # fold sq into the per-row projection (no in-kernel scalar reads):
+    # CzS[k*nproj + r] = sq[k*nproj + r] * Cz[r]
+    CzS = (jnp.asarray(sq, jnp.float32)[:, None]
+           * jnp.tile(jnp.asarray(Cz, jnp.float32), (Np + 1, 1)))
+
+    slack_floor = 1.0 if x0 is None else 1e-2
+    if x0 is None:
+        x0 = jnp.zeros((B, n), jnp.float32)
+    x0 = jnp.asarray(x0, jnp.float32)
+    has_q0 = q0 is not None
+    if has_q0:
+        q0 = jnp.asarray(q0, jnp.float32)
+    warm_dual = lam0 is not None
+    if warm_dual:
+        lam0_row = jnp.asarray(lam0, jnp.float32) * row[None, :]
+
+    At = A_eq.T
+    if band is None:
+        structured = (jnp.einsum("ci,cj->ijc", A_eq, A_eq).reshape(n * n, mc),)
+        struct_specs = [(n * n, mc)]
+    else:
+        Wd = (A_eq * A_eq).T
+        if band > 0:
+            Wo = (A_eq[:, :n - band] * A_eq[:, band:]).T
+        else:
+            Wo = jnp.zeros((1, mc), jnp.float32)
+        structured = (Wd, Wo)
+        struct_specs = [(n, mc), (Wo.shape[0], mc)]
+
+    pad = (-B) % tile
+    if pad:
+        # padded lanes condense zero Jacobians (S stays 0, b = cF feasible
+        # for MPC box rows) and are dropped on return
+        zpad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+        jz, ju, cv, zeta, u_prev, x0 = map(
+            zpad, (jz, ju, cv, zeta, u_prev, x0))
+        if has_q0:
+            q0 = zpad(q0)
+        if warm_dual:
+            lam0_row = jnp.concatenate(
+                [lam0_row, jnp.ones((pad, mc), jnp.float32)], 0)
+    Bp = jz.shape[0]
+    # S_0 as a REAL buffer, not an in-kernel constant (see _nmpc_kernel)
+    S0 = jnp.zeros((nz, nU_cols, Bp), jnp.float32)
+
+    jzt = jz.reshape(Bp, Np * nz, nz).transpose(1, 2, 0)
+    jut = ju.reshape(Bp, Np * nz, m).transpose(1, 2, 0)
+    cvt = cv.reshape(Bp, Np * nz).T
+
+    kern = functools.partial(_nmpc_kernel, n, mc, iters, slack_floor, tile,
+                             band, warm_dual, has_q0, Np, nz, nstate, m,
+                             nproj, tuple(cols))
+    lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    lane3 = lambda r, c: pl.BlockSpec((r, c, tile), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM)
+    shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    xt, st, lamt, objt = pl.pallas_call(
+        kern,
+        grid=(Bp // tile,),
+        in_specs=[
+            lane3(Np * nz, nz), lane3(Np * nz, m), lane2(Np * nz),
+            lane3(nz, nU_cols), lane2(nz), lane2(m), lane2(n),
+            shared(p, nstate), shared(p, 1),
+            shared(1, n),
+            shared(mc, 1), shared(mc, m),
+            shared(mc, n), shared(n, mc),
+            *[shared(r, c) for r, c in struct_specs],
+            *([lane2(n)] if has_q0 else []),
+            *([lane2(mc)] if warm_dual else []),
+        ],
+        out_specs=[lane2(n), lane2(mc), lane2(mc), lane2(1)],
+        out_shape=[jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Bp), jnp.float32)],
+        interpret=interpret,
+    )(jzt, jut, cvt, S0, zeta.T, u_prev.T, x0.T,
+      CzS, jnp.asarray(sqRef, jnp.float32)[:, None],
+      jnp.asarray(r_diag, jnp.float32)[None],
+      cFr[:, None], F0r, A_eq, At, *structured,
+      *([q0.T] if has_q0 else []),
+      *([lam0_row.T] if warm_dual else []))
+
+    x = xt.T[:B]
+    s = st.T[:B]
+    lam = lamt.T[:B]
+    obj = objt[0, :B]
+
+    with jax.default_matmul_precision("highest"):
+        b_eq = cFr[None, :] - jnp.asarray(u_prev[:B], jnp.float32) @ F0r.T
+        gap = jnp.sum(s * lam, axis=1) / mc
+        r_p = jnp.max(jnp.maximum(x @ A_eq.T - b_eq, 0.0), axis=1)
+        finite = jnp.all(jnp.isfinite(x), axis=1)
+        ok = finite & (gap < gap_sane) \
+            & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b_eq), axis=1), 1.0))
+        x = jnp.where(finite[:, None], x, jnp.nan)
+        lam_orig = lam * obj[:, None] / row[None, :]
+    return x, lam_orig, ok, gap
+
+
 @functools.partial(jax.jit,
                    static_argnames=("iters", "interpret", "tol", "gap_sane",
                                     "tile", "band"))

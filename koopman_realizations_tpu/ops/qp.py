@@ -410,6 +410,183 @@ def _bilinear_routed_solver(iters: int, warm: bool, band: int,
     return solve
 
 
+def _nmpc_condense_assemble(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, cols,
+                            m):
+    """One lane's XLA condensation + factored assembly -- the exact math
+    ``ops.pallas.qp_ipm._nmpc_kernel`` runs in VMEM (pure fallback /
+    parity oracle).  jz (Np, nz, nz), ju (Np, nz, m), cv (Np, nz);
+    returns (W (p, n), v (p,))."""
+    Np, nz = jz.shape[0], jz.shape[1]
+    nstate = Cz.shape[1]
+    nproj = Cz.shape[0]
+    nU = max(cols) + m            # decision columns: [u0 | reduced moves]
+    W_rows, v_rows = [], []
+    S = jnp.zeros((nz, nU), jz.dtype)
+    s = zeta                      # s_0 = current state (S_0 = 0)
+    for k in range(Np + 1):
+        proj = Cz @ S[:nstate]                     # (nproj, nU)
+        sproj = Cz @ s[:nstate]
+        for r in range(nproj):
+            sqk = sq[k * nproj + r]
+            W_rows.append(sqk * proj[r, m:])
+            v_rows.append(sqk * sproj[r] - sqRef[k * nproj + r]
+                          + sqk * (proj[r, :m] @ u_prev))
+        if k < Np:
+            S = jz[k] @ S
+            S = S.at[:, cols[k]:cols[k] + m].add(ju[k])
+            s = jz[k] @ s + cv[k]
+    return jnp.stack(W_rows), jnp.stack(v_rows)
+
+
+def solve_qp_nmpc(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF,
+                  F0, cols, iters: int = 25, x0=None, q0=None, lam0=None,
+                  backend: str = "auto", band_offset: int = None
+                  ) -> QPSolution:
+    """Condensation-fused NMPC-pass solve: the SQP's sensitivity recursion,
+    W/v assembly, AND the interior point run inside one Pallas kernel when
+    batched (``ops.pallas.qp_ipm.solve_qp_nmpc_batched``).
+
+    The XLA condensation is a chain of batched-small (nz x nz) matmuls
+    plus (B, Np+1, n, nU) stacked HBM round trips -- measured as the
+    NMPC's batch-scaling wall (+53% per-lane from B=2048 to 8192 while
+    the QP kernel scales flat; scripts/inloop_ablation.py MODEL=nonlinear).
+    Per-lane inputs here are just the stage Jacobians + defects.
+    Unbatched / non-TPU calls condense in XLA (the parity oracle
+    ``_nmpc_condense_assemble``); a batched reference window
+    (run_multi_ref) condenses per-lane in XLA but still solves on the
+    factored kernel.  ``cols`` is the static per-stage decision-column
+    table (move blocking folds to repeated offsets).
+    """
+    _debug_check_band(A, band_offset)
+    return _solve_qp_nmpc(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag,
+                          A, cF, F0, tuple(int(c) for c in cols), iters,
+                          x0, q0, lam0, backend, band_offset)
+
+
+@partial(jax.jit,
+         static_argnames=("cols", "iters", "backend", "band_offset"))
+def _solve_qp_nmpc(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF,
+                   F0, cols, iters, x0, q0, lam0, backend, band_offset
+                   ) -> QPSolution:
+    with jax.default_matmul_precision("highest"):
+        use_pallas = (backend != "jax"
+                      and jnp.asarray(cF).shape[-1] > 0
+                      and jnp.asarray(jz).dtype == jnp.float32
+                      and jax.default_backend() in ("tpu", "axon"))
+        if not use_pallas:
+            W, v = _nmpc_condense_assemble(jz, ju, cv, zeta, u_prev, sq,
+                                           sqRef, Cz, cols,
+                                           u_prev.shape[-1])
+            b = cF - F0 @ u_prev
+            P, q = _factored_Pq(W, v, r_diag, q0)
+            return _solve_qp_impl(P, q, A, b, iters, x0, True, lam0)
+        warm = x0 is not None
+        if x0 is None:
+            x0 = jnp.zeros(A.shape[-1:], jnp.float32)
+        has_q0 = q0 is not None
+        if q0 is None:
+            q0 = jnp.zeros(A.shape[-1:], jnp.float32)
+        warm_dual = lam0 is not None
+        if lam0 is None:
+            lam0 = jnp.ones(cF.shape, jnp.float32)
+        f = _nmpc_routed_solver(cols, iters, warm, has_q0, band_offset,
+                                warm_dual)
+        x, lam, ok, gap = f(jnp.asarray(jz, jnp.float32),
+                            jnp.asarray(ju, jnp.float32),
+                            jnp.asarray(cv, jnp.float32),
+                            jnp.asarray(zeta, jnp.float32),
+                            jnp.asarray(u_prev, jnp.float32),
+                            jnp.asarray(sq, jnp.float32),
+                            jnp.asarray(sqRef, jnp.float32),
+                            jnp.asarray(Cz, jnp.float32),
+                            jnp.asarray(r_diag, jnp.float32),
+                            jnp.asarray(A, jnp.float32),
+                            jnp.asarray(cF, jnp.float32),
+                            jnp.asarray(F0, jnp.float32),
+                            jnp.asarray(x0, jnp.float32),
+                            jnp.asarray(q0, jnp.float32),
+                            jnp.asarray(lam0, jnp.float32))
+        return QPSolution(x=x, lam=lam, ok=ok, gap=gap)
+
+
+def _nmpc_routed_solver(cols, iters: int, warm: bool, has_q0: bool,
+                        band: int, warm_dual: bool):
+    """custom_vmap'd condensation-fused NMPC solver: batched Jacobians with
+    shared generators hit the fused kernel; a batched sqRef (multi-ref)
+    condenses per-lane in XLA and rides the factored kernel; batched
+    shared operands fall back to plain vmap."""
+    key = ("nmpc", cols, iters, warm, has_q0, band, warm_dual)
+    f = _ROUTED_CACHE.get(key)
+    if f is not None:
+        return f
+    from jax.custom_batching import custom_vmap
+
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_nmpc_batched,
+    )
+
+    def _pure(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0,
+              x0, q0, lam0):
+        W, v = _nmpc_condense_assemble(jz, ju, cv, zeta, u_prev, sq, sqRef,
+                                       Cz, cols, u_prev.shape[-1])
+        b = cF - F0 @ u_prev
+        P, q = _factored_Pq(W, v, r_diag, q0 if has_q0 else None)
+        sol = _solve_qp_impl(P, q, A, b, iters, x0 if warm else None, True,
+                             lam0 if warm_dual else None)
+        return sol.x, sol.lam, sol.ok, sol.gap
+
+    @custom_vmap
+    def solve(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0,
+              x0, q0, lam0):
+        return _pure(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag, A,
+                     cF, F0, x0, q0, lam0)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, jz, ju, cv, zeta, u_prev, sq, sqRef,
+              Cz, r_diag, A, cF, F0, x0, q0, lam0):
+        (jzb, jub, cvb, zb, ub, sqb, sqRefb, Czb, rb, Ab, cFb, F0b, xb,
+         q0b, lb) = in_batched
+        if sqb or Czb or rb or Ab or cFb or F0b:
+            out = jax.vmap(_pure, in_axes=tuple(
+                0 if bi else None for bi in in_batched))(
+                    jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag, A,
+                    cF, F0, x0, q0, lam0)
+            return out, (True, True, True, True)
+        bc = lambda val, vib: val if vib else \
+            jnp.broadcast_to(val[None], (axis_size,) + val.shape)
+        if sqRefb:
+            # per-lane reference windows (run_multi_ref): condense in XLA,
+            # solve on the factored kernel via its own routed path
+            def one(jzi, jui, cvi, zi, ui, sqRefi, xi, q0i, li):
+                W, v = _nmpc_condense_assemble(jzi, jui, cvi, zi, ui, sq,
+                                               sqRefi, Cz, cols,
+                                               ui.shape[-1])
+                b = cF - F0 @ ui
+                sol = _solve_qp_factored(
+                    W, v, r_diag, A, b, iters, xi if warm else None,
+                    "auto", band, li if warm_dual else None,
+                    q0i if has_q0 else None)
+                return sol.x, sol.lam, sol.ok, sol.gap
+
+            out = jax.vmap(one)(bc(jz, jzb), bc(ju, jub), bc(cv, cvb),
+                                bc(zeta, zb), bc(u_prev, ub), sqRef,
+                                bc(x0, xb), bc(q0, q0b), bc(lam0, lb))
+            return out, (True, True, True, True)
+        Np, nz = jz.shape[-3], jz.shape[-2]
+        x, lam, ok, gap = solve_qp_nmpc_batched(
+            bc(jz, jzb), bc(ju, jub), bc(cv, cvb), bc(zeta, zb),
+            bc(u_prev, ub), sq, sqRef, Cz, r_diag, A, cF, F0,
+            x0=bc(x0, xb) if warm else None,
+            q0=bc(q0, q0b) if has_q0 else None,
+            lam0=bc(lam0, lb) if warm_dual else None,
+            Np=Np, nz=nz, nstate=Cz.shape[1], nproj=Cz.shape[0],
+            cols=cols, iters=iters, band=band)
+        return (x, lam, ok, gap), (True, True, True, True)
+
+    _ROUTED_CACHE[key] = solve
+    return solve
+
+
 def _pallas_routed_solver(iters: int, warm: bool, band: int = None,
                           warm_dual: bool = False):
     """custom_vmap'd shared-A solver: unbatched calls use the pure-JAX path;

@@ -414,3 +414,48 @@ def test_dual_shift_perm_and_closed_loop(arm_dataset, blockM):
     res_shift = run(qp_dual_warm=True, qp_dual_shift=True, qp_iters=5)
     assert res_shift["alive"].all()
     assert res_shift["err"].mean() <= res_off["err"].mean() * 1.02 + 1e-4
+
+
+def test_nmpc_fused_condense_matches_legacy_assembly(arm_dataset):
+    """The condensation-fused path's (W, v) (ops.qp._nmpc_condense_assemble,
+    the exact math the Pallas _nmpc_kernel runs in VMEM) must reproduce the
+    legacy _condense + Sy-projection assembly to f32 roundoff, blocked and
+    unblocked."""
+    import jax.numpy as jnp
+
+    from koopman_realizations_tpu.ops.qp import _nmpc_condense_assemble
+
+    ks = train(arm_dataset, "nonlinear")
+    for blocks in (None, (1, 1, 2, 5)):
+        cfg = example_control_cfg()
+        import dataclasses
+        cfg = dataclasses.replace(cfg, input_blocks=blocks)
+        mpc = make_kmpc(ks.model, ks.scaler, cfg)
+        rng = np.random.default_rng(3)
+        dt = np.asarray(ks.model.W).dtype      # match the trained model
+        Np, m, nz = mpc.Np, mpc.m, mpc.nz
+        zeta = jnp.asarray(rng.normal(0, 0.3, nz).astype(dt))
+        u_prev = jnp.asarray(rng.normal(0, 0.2, m).astype(dt))
+        Ul = jnp.asarray(rng.normal(0, 0.2, (Np, m)).astype(dt))
+        Zl = jnp.asarray(rng.normal(0, 0.3, (Np, nz)).astype(dt))
+        ref = jnp.asarray(rng.normal(0, 0.3,
+                                     (Np + 1, mpc.nproj)).astype(dt))
+
+        # legacy: explicit sensitivity stack + projection
+        Sz, sz = mpc._condense(Zl, Ul, zeta)
+        Sy = jnp.einsum("pi,kij->kpj", mpc.Cz, Sz[:, : mpc.n, :]) \
+            .reshape((Np + 1) * mpc.nproj, mpc._nU)
+        sy = (sz[:, : mpc.n] @ mpc.Cz.T).reshape(-1)
+        sq = jnp.sqrt(mpc.Qd)
+        W_old = sq[:, None] * Sy[:, m:]
+        v_old = sq * (sy - ref.reshape(-1) + Sy[:, :m] @ u_prev)
+
+        # fused-path math: per-stage Jacobians only
+        jz, ju, cv = mpc._stage_lin(Zl, Ul)
+        W_new, v_new = _nmpc_condense_assemble(
+            jz, ju, cv, zeta, u_prev, sq, sq * ref.reshape(-1), mpc.Cz,
+            mpc._cols, m)
+        np.testing.assert_allclose(np.asarray(W_new), np.asarray(W_old),
+                                   rtol=0, atol=2e-4, err_msg=str(blocks))
+        np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_old),
+                                   rtol=0, atol=2e-3, err_msg=str(blocks))

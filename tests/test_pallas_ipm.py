@@ -467,3 +467,83 @@ def test_solve_qp_bilinear_routing_matches_pure(rng=None):
                                        np.asarray(sol_i.x), rtol=0,
                                        atol=2e-4)
     assert np.asarray(sol_m.ok).mean() > 0.8
+
+
+def test_kernel_nmpc_condense_fused_matches_factored():
+    """The condensation-fused NMPC kernel (sensitivity recursion + W/v
+    assembly + IPM in VMEM, round 4) must match condensing in XLA and
+    solving on the factored kernel, lane-for-lane, at the blocked
+    shipping shape."""
+    from koopman_realizations_tpu.config import MpcConfig
+    from koopman_realizations_tpu.control.kmpc import (
+        input_constraint_rows,
+        move_blocking,
+    )
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_factored_batched,
+        solve_qp_nmpc_batched,
+    )
+    from koopman_realizations_tpu.ops.qp import _nmpc_condense_assemble
+
+    mI, Np, blocks = 3, 10, (1, 1, 2, 5)
+    nz, nproj = 6, 2
+    cfg = MpcConfig(horizon=Np, input_bounds=(-2.7, 2.7),
+                    input_slopeConst=1e-1, input_blocks=blocks)
+
+    class S:
+        u_factor = np.ones(mI)
+
+        def u_down(self, u):
+            return np.asarray(u)
+
+    F, cF = input_constraint_rows(cfg, mI, Np, S())
+    _, _, Fr, F0r, cr, _ = move_blocking(blocks, mI, Np, F, cF)
+    n = Fr.shape[1]
+    mc = Fr.shape[0]
+    # stage -> decision column: stage 0 hits the u0 block, later stages
+    # their group's move (the NonlinearKmpc Emb placement)
+    group_of = np.repeat(np.arange(len(blocks)), blocks)
+    cols = tuple([0] + [mI + int(group_of[k - 1]) * mI
+                        for k in range(1, Np)])
+
+    B = 96
+    rng = np.random.default_rng(5)
+    # near-identity stage Jacobians (stable products, like a real SQP)
+    jz = (np.eye(nz)[None, None]
+          + 0.1 * rng.standard_normal((B, Np, nz, nz))).astype(np.float32)
+    ju = (0.2 * rng.standard_normal((B, Np, nz, mI))).astype(np.float32)
+    cv = (0.05 * rng.standard_normal((B, Np, nz))).astype(np.float32)
+    zeta = (0.3 * rng.standard_normal((B, nz))).astype(np.float32)
+    up = (0.2 * rng.standard_normal((B, mI))).astype(np.float32)
+    sq = np.sqrt(np.abs(rng.normal(size=(Np + 1) * nproj)) + 0.5) \
+        .astype(np.float32)
+    sqRef = (0.3 * rng.standard_normal((Np + 1) * nproj)).astype(np.float32)
+    Cz = rng.standard_normal((nproj, nz)).astype(np.float32) * 0.5
+    r = (np.abs(rng.normal(size=n)) * 0.05).astype(np.float32)
+    x0 = jnp.zeros((B, n), jnp.float32)
+    lam0 = jnp.ones((B, mc), jnp.float32)
+    q0 = (0.01 * rng.standard_normal((B, n))).astype(np.float32)
+
+    # XLA condensation oracle (the pure-path math) per lane
+    W, v = jax.vmap(lambda a, b_, c, z, u: _nmpc_condense_assemble(
+        a, b_, c, z, u, jnp.asarray(sq), jnp.asarray(sqRef),
+        jnp.asarray(Cz), cols, mI))(jz, ju, cv, zeta, up)
+    b = cr[None].astype(np.float32) - up @ F0r.T.astype(np.float32)
+
+    x_f, lam_f, ok_f, _ = solve_qp_factored_batched(
+        W, v, jnp.asarray(r), jnp.asarray(Fr, jnp.float32), jnp.asarray(b),
+        x0=x0, iters=16, band=mI, lam0=lam0, q0=jnp.asarray(q0),
+        interpret=True)
+    x_n, lam_n, ok_n, _ = solve_qp_nmpc_batched(
+        jnp.asarray(jz), jnp.asarray(ju), jnp.asarray(cv),
+        jnp.asarray(zeta), jnp.asarray(up), jnp.asarray(sq),
+        jnp.asarray(sqRef), jnp.asarray(Cz), jnp.asarray(r),
+        jnp.asarray(Fr, jnp.float32), jnp.asarray(cr, jnp.float32),
+        jnp.asarray(F0r, jnp.float32), x0=x0, q0=jnp.asarray(q0),
+        lam0=lam0, Np=Np, nz=nz, nstate=nz, nproj=nproj, cols=cols,
+        iters=16, band=mI, interpret=True)
+    okm = np.asarray(ok_f) & np.asarray(ok_n)
+    assert okm.mean() > 0.9
+    dx = np.abs(np.asarray(x_n) - np.asarray(x_f))[okm]
+    assert np.median(dx) < 5e-5
+    assert dx.max() < 5e-3
