@@ -140,13 +140,21 @@ def bilinear_step_cost(mpc, plant_cfg, dual_warm: bool = True) -> dict:
     win = 1 + meta.nd
     carry = (nx + meta.n + win * meta.n + win * m + m + Np * m
              + (mc if dual_warm else 0)) * f32 + 1
-    kernel_io = ((p * nred + p + nred + (mc if dual_warm else 0)) * f32   # in
-                 + (nred + 2 * mc + 1) * f32)                             # out
+    # blocked controllers default to the ASSEMBLY-FUSED kernel (round 4):
+    # the kernel consumes (z, u_prev) directly, so neither the per-lane W/v
+    # nor the PG-GEMM output ever exist in HBM
+    import os
+    fused = blocked and os.environ.get("KMPC_FUSED_ASSEMBLY") != "0"
+    if fused:
+        kernel_in = NL + m + nred + (mc if dual_warm else 0)
+        spill_terms = NL + nred + Np * m          # z, solution, expanded U
+    else:
+        kernel_in = p * nred + p + nred + (mc if dual_warm else 0)
+        spill_terms = NL + p * ncols + p * nred + p + nred + Np * m
+    kernel_io = (kernel_in + nred + 2 * mc + 1) * f32
     bytes_min = 2 * carry + kernel_io
-    # each named intermediate additionally spills once (write+read):
-    # z (NL), PG-GEMM output (p*ncols), reduced W/v, solution x + expanded U
-    spills = (NL + p * ncols + p * nred + p + nred + Np * m) * 2 * f32
-    bytes_est = bytes_min + spills
+    # each named intermediate additionally spills once (write+read)
+    bytes_est = bytes_min + spill_terms * 2 * f32
     return {"flops": fl, "flops_total": total, "mxu_flops": int(mxu),
             "bytes_min": int(bytes_min), "bytes_est": int(bytes_est)}
 
