@@ -1424,7 +1424,10 @@ class NonlinearKmpc(_KmpcBase):
         def roll(zc, u):
             z1 = self.F_fn(zc, u)
             return z1, zc
-        zf, Zpre = jax.lax.scan(roll, zeta, U)    # Zpre = [z_0 .. z_{Np-1}]
+        # unroll: Np sequential F evals per pass; the rolled scan's carry
+        # round trips are pure overhead at these tiny shapes
+        zf, Zpre = jax.lax.scan(roll, zeta, U,
+                                unroll=self.Np)   # Zpre = [z_0 .. z_{Np-1}]
         return jnp.concatenate([Zpre, zf[None]], axis=0)      # (Np+1, nz)
 
     def _cost_from_Z(self, Z, U, ref):

@@ -846,7 +846,11 @@ def solve_qp_nmpc_batched(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag,
     p = (Np + 1) * nproj
     nU_cols = n + m
     if tile is None:
-        tile = factored_tile_for(n)
+        # the condense-fused kernel carries a much larger per-lane VMEM
+        # working set than the factored kernel (jz/ju/S stacks): at the
+        # blocked shape it prefers 512 (B=8192 full-loop A/B: 512 1642k /
+        # 768 1572k / 256 1567k steps/s), capping the factored default
+        tile = min(512, factored_tile_for(n))
 
     row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)        # (mc,)
     A_eq = A / row[:, None]
