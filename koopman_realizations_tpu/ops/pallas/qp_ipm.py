@@ -716,7 +716,7 @@ def _nmpc_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, has_q0,
     cv = cv_ref[...]                                   # (Np*nz, T)
     up = up_ref[...]                                   # (m, T)
     CzS = CzS_ref[...]                                 # (p, nstate) sq-folded
-    sqRef = sqRef_ref[...]                             # (p, 1)
+    sqRef = sqRef_ref[...]                             # (p, 1) or (p, T)
 
     # ---- in-VMEM condensation ------------------------------------------
     # S_0 = 0, s_0 = zeta (the affine part carries the current state).
@@ -826,8 +826,9 @@ def solve_qp_nmpc_batched(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag,
     cv (B, Np, nz) defect offsets, zeta (B, nz) the current state (the
     affine recursion's start), u_prev (B, m), x0/q0/lam0 warm starts /
     Levenberg linear term.  Lane-shared: sq (p,) = sqrt of the stacked Q
-    diagonal, sqRef (p,) = sq * stacked reference window (traced per
-    step), Cz (nproj, nstate) output projection, r_diag (n,) the
+    diagonal, sqRef = sq * stacked reference window -- (p,) lane-shared
+    (traced per step) or (B, p) PER-LANE (run_multi_ref's per-lane
+    trajectories; the kernel's subtraction broadcasts either shape), Cz (nproj, nstate) output projection, r_diag (n,) the
     R + Levenberg diagonal, A (mc, n) reduced constraint rows with
     b = cF - F0 @ u_prev; ``cols`` the static per-stage decision-column
     offsets (Emb placement).  Lane-for-lane equivalent to the XLA
@@ -839,6 +840,8 @@ def solve_qp_nmpc_batched(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag,
     zeta = jnp.asarray(zeta, jnp.float32)
     u_prev = jnp.asarray(u_prev, jnp.float32)
     A = jnp.asarray(A, jnp.float32)
+    sqRef = jnp.asarray(sqRef, jnp.float32)
+    per_ref = sqRef.ndim == 2                  # (B, p) per-lane windows
     B = jz.shape[0]
     n = A.shape[1]
     mc = A.shape[0]
@@ -893,6 +896,8 @@ def solve_qp_nmpc_batched(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag,
             [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
         jz, ju, cv, zeta, u_prev, x0 = map(
             zpad, (jz, ju, cv, zeta, u_prev, x0))
+        if per_ref:
+            sqRef = zpad(sqRef)
         if has_q0:
             q0 = zpad(q0)
         if warm_dual:
@@ -921,7 +926,8 @@ def solve_qp_nmpc_batched(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag,
         in_specs=[
             lane3(Np * nz, nz), lane3(Np * nz, m), lane2(Np * nz),
             lane3(nz, nU_cols), lane2(nz), lane2(m), lane2(n),
-            shared(p, nstate), shared(p, 1),
+            shared(p, nstate),
+            lane2(p) if per_ref else shared(p, 1),
             shared(1, n),
             shared(mc, 1), shared(mc, m),
             shared(mc, n), shared(n, mc),
@@ -936,7 +942,7 @@ def solve_qp_nmpc_batched(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag,
                    jax.ShapeDtypeStruct((1, Bp), jnp.float32)],
         interpret=interpret,
     )(jzt, jut, cvt, S0, zeta.T, u_prev.T, x0.T,
-      CzS, jnp.asarray(sqRef, jnp.float32)[:, None],
+      CzS, sqRef.T if per_ref else sqRef[:, None],
       jnp.asarray(r_diag, jnp.float32)[None],
       cFr[:, None], F0r, A_eq, At, *structured,
       *([q0.T] if has_q0 else []),

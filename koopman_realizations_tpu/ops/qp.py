@@ -554,28 +554,14 @@ def _nmpc_routed_solver(cols, iters: int, warm: bool, has_q0: bool,
             return out, (True, True, True, True)
         bc = lambda val, vib: val if vib else \
             jnp.broadcast_to(val[None], (axis_size,) + val.shape)
-        if sqRefb:
-            # per-lane reference windows (run_multi_ref): condense in XLA,
-            # solve on the factored kernel via its own routed path
-            def one(jzi, jui, cvi, zi, ui, sqRefi, xi, q0i, li):
-                W, v = _nmpc_condense_assemble(jzi, jui, cvi, zi, ui, sq,
-                                               sqRefi, Cz, cols,
-                                               ui.shape[-1])
-                b = cF - F0 @ ui
-                sol = _solve_qp_factored(
-                    W, v, r_diag, A, b, iters, xi if warm else None,
-                    "auto", band, li if warm_dual else None,
-                    q0i if has_q0 else None)
-                return sol.x, sol.lam, sol.ok, sol.gap
-
-            out = jax.vmap(one)(bc(jz, jzb), bc(ju, jub), bc(cv, cvb),
-                                bc(zeta, zb), bc(u_prev, ub), sqRef,
-                                bc(x0, xb), bc(q0, q0b), bc(lam0, lb))
-            return out, (True, True, True, True)
         Np, nz = jz.shape[-3], jz.shape[-2]
+        # a batched sqRef (run_multi_ref's per-lane trajectories) rides the
+        # SAME fused kernel: the wrapper ships it as a per-lane tile and
+        # the in-kernel subtraction broadcasts either shape
         x, lam, ok, gap = solve_qp_nmpc_batched(
             bc(jz, jzb), bc(ju, jub), bc(cv, cvb), bc(zeta, zb),
-            bc(u_prev, ub), sq, sqRef, Cz, r_diag, A, cF, F0,
+            bc(u_prev, ub), sq,
+            bc(sqRef, sqRefb) if sqRefb else sqRef, Cz, r_diag, A, cF, F0,
             x0=bc(x0, xb) if warm else None,
             q0=bc(q0, q0b) if has_q0 else None,
             lam0=bc(lam0, lb) if warm_dual else None,

@@ -92,6 +92,30 @@ def test_batch_matches_single_with_nonzero_x0(arm_dataset, blockM_ref):
                                    rtol=0, atol=1e-5)
 
 
+def test_run_multi_ref_nmpc(arm_dataset, blockM_ref):
+    """Per-lane reference trajectories through the NMPC controller (the
+    fused kernel's per-lane sqRef path on TPU; pure path here)."""
+    ks = Ksysid(arm_dataset, SysidConfig(model_type="nonlinear",
+                                         obs_type=("poly",), obs_degree=(3,),
+                                         dim_red=True, pca_explained=99.99,
+                                         dtype="float32")).train_models()
+    mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
+        horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
+        input_slopeConst=1e-1, cost_running=10.0, cost_terminal=100.0,
+        cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2), proj_idx=(4, 5),
+        input_blocks=(1, 1, 2, 5), qp_iters=8))
+    arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
+                        output_type="markers", substeps=3, newton_iters=2,
+                        jac_mode="step"))
+    sim = Ksim(arm, mpc)
+    circle = make_trajectory(get_circle([0.0, -0.7], 0.3), T=15.0, Ts=0.05)
+    out = sim.run_multi_ref([blockM_ref["y"], circle["y"]], np.zeros((2, 6)),
+                            steps=60)
+    assert out["alive"][:, -1].all()
+    assert np.isfinite(out["err"]).all()
+    assert out["err"].mean(axis=1).max() < 0.08
+
+
 @pytest.mark.parametrize("blocks,qp_iters,shift", [
     (None, 2, True),            # retired round-2 unblocked floor: the
                                 # stage shift is REQUIRED there

@@ -547,3 +547,68 @@ def test_kernel_nmpc_condense_fused_matches_factored():
     dx = np.abs(np.asarray(x_n) - np.asarray(x_f))[okm]
     assert np.median(dx) < 5e-5
     assert dx.max() < 5e-3
+
+
+def test_kernel_nmpc_per_lane_ref_matches_shared():
+    """Per-lane reference windows (run_multi_ref) ride the same fused NMPC
+    kernel: with every lane given the SAME window, the per-lane (B, p)
+    sqRef path must match the lane-shared (p,) path exactly; with distinct
+    windows it must match the XLA condensation oracle."""
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_factored_batched,
+        solve_qp_nmpc_batched,
+    )
+    from koopman_realizations_tpu.ops.qp import _nmpc_condense_assemble
+
+    Np, nz, mI, nproj = 10, 6, 3, 2
+    n = 12
+    cols = tuple([0] + [mI + 3 * min(k - 1, 3) for k in range(1, Np)])
+    B = 64
+    rng = np.random.default_rng(9)
+    jz = (np.eye(nz)[None, None]
+          + 0.1 * rng.standard_normal((B, Np, nz, nz))).astype(np.float32)
+    ju = (0.2 * rng.standard_normal((B, Np, nz, mI))).astype(np.float32)
+    cv = (0.05 * rng.standard_normal((B, Np, nz))).astype(np.float32)
+    zeta = (0.3 * rng.standard_normal((B, nz))).astype(np.float32)
+    up = (0.2 * rng.standard_normal((B, mI))).astype(np.float32)
+    p = (Np + 1) * nproj
+    sq = np.sqrt(np.abs(rng.normal(size=p)) + 0.5).astype(np.float32)
+    Cz = rng.standard_normal((nproj, nz)).astype(np.float32) * 0.5
+    r = (np.abs(rng.normal(size=n)) * 0.05).astype(np.float32)
+    A = np.concatenate([np.eye(n), -np.eye(n)]).astype(np.float32)
+    cns = np.full(2 * n, 1.5, np.float32)
+    F0 = np.zeros((2 * n, mI), np.float32)
+    x0 = jnp.zeros((B, n), jnp.float32)
+    lam0 = jnp.ones((B, 2 * n), jnp.float32)
+    kw = dict(Np=Np, nz=nz, nstate=nz, nproj=nproj, cols=cols, iters=16,
+              band=0, interpret=True)
+
+    sqRef1 = (0.3 * rng.standard_normal(p)).astype(np.float32)
+    x_s, _, ok_s, _ = solve_qp_nmpc_batched(
+        jz, ju, cv, zeta, up, sq, sqRef1, Cz, r, A, cns, F0,
+        x0=x0, lam0=lam0, **kw)
+    x_p, _, ok_p, _ = solve_qp_nmpc_batched(
+        jz, ju, cv, zeta, up, sq, np.tile(sqRef1[None], (B, 1)), Cz, r, A,
+        cns, F0, x0=x0, lam0=lam0, **kw)
+    okm = np.asarray(ok_s) & np.asarray(ok_p)
+    assert okm.mean() > 0.9
+    np.testing.assert_allclose(np.asarray(x_p)[okm], np.asarray(x_s)[okm],
+                               rtol=0, atol=1e-5)
+
+    # distinct windows vs the XLA oracle + factored kernel
+    sqRefB = (0.3 * rng.standard_normal((B, p))).astype(np.float32)
+    x_k, _, ok_k, _ = solve_qp_nmpc_batched(
+        jz, ju, cv, zeta, up, sq, sqRefB, Cz, r, A, cns, F0,
+        x0=x0, lam0=lam0, **kw)
+    W, v = jax.vmap(lambda a, b_, c, z, u, sr: _nmpc_condense_assemble(
+        a, b_, c, z, u, jnp.asarray(sq), sr, jnp.asarray(Cz), cols, mI))(
+            jz, ju, cv, zeta, up, jnp.asarray(sqRefB))
+    b = cns[None] - up @ F0.T
+    x_f, _, ok_f, _ = solve_qp_factored_batched(
+        W, v, jnp.asarray(r), jnp.asarray(A), jnp.asarray(b), x0=x0,
+        iters=16, band=0, lam0=lam0, interpret=True)
+    okm2 = np.asarray(ok_k) & np.asarray(ok_f)
+    assert okm2.mean() > 0.9
+    dx = np.abs(np.asarray(x_k) - np.asarray(x_f))[okm2]
+    assert np.median(dx) < 5e-5
+    assert dx.max() < 5e-3
