@@ -37,11 +37,12 @@ def main():
 
     # steps=301 runs the FULL 15 s blockM trajectory (like the reference's
     # experiments) -- it also amortizes the ~35 ms axon tunnel dispatch that
-    # a 30-step loop pays as ~1.2 ms/step of phantom cost.  B=32768 is the
-    # measured throughput peak of the SHIPPING blocked config (move blocking
-    # shrinks the kernel problem 27->12 vars, moving the peak up from the
-    # unblocked kernel's 16384; error/alive identical across 4k-32k).
-    batch = int(os.environ.get("BENCH_BATCH", "32768"))
+    # a 30-step loop pays as ~1.2 ms/step of phantom cost.  B=65536 is the
+    # round-4 throughput peak of the blocked ASSEMBLY-FUSED config (the
+    # smaller per-lane kernel state keeps moving the peak up a batch size:
+    # 16384 unblocked -> 32768 blocked -> 65536 fused; back-to-back A/B
+    # 22.46M vs 21.17M at 32768, error/alive identical across 4k-64k).
+    batch = int(os.environ.get("BENCH_BATCH", "65536"))
     steps = int(os.environ.get("BENCH_STEPS", "301"))
 
     ds = load_data4sysid(DATAFILE)
