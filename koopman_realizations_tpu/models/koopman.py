@@ -154,8 +154,42 @@ def as_discrete(model):
         return _dc.replace(model, A=Ad, B=Bd,
                            meta=_dc.replace(meta, time_type="discrete"))
     raise NotImplementedError(
-        "continuous bilinear/nonlinear rollouts integrate with rk4 substeps; "
-        "use rollout(..) directly")
+        "a continuous bilinear model has no state-independent (Ad, Bd); "
+        "use zoh_step_bilinear (exact under ZOH input) or rollout(..) "
+        "(rk4 substeps); nonlinear models integrate with rk4 only")
+
+
+def zoh_step_bilinear(model: "BilinearModel", substeps: int = 1):
+    """EXACT per-Ts stepper for a continuous bilinear model under ZOH input.
+
+    With u held constant over the sample interval (zero-order hold -- the
+    closed-loop actuation model, ``Ksim.m:239-246``), the bilinear vector
+    field z' = A z + B(z) u = (A + sum_m u_m B[:, m, :]) z is LINEAR
+    time-invariant over the interval, so the exact transition is the
+    matrix exponential of the u-dependent generator:
+
+        z+ = expm(Ts (A + sum_m u_m B[:, m, :])) z
+
+    (the reference integrates the same interval with ode45,
+    ``Ksysid.val_BLmodel:1779-1783``; this replaces the adaptive stepper
+    with the closed-form solution).  ``substeps`` is accepted for
+    signature compatibility with the rk4 stepper and ignored (the
+    exponential is exact at any step size).  Cost: one NL x NL ``expm``
+    per (step, lane) -- prefer rk4 for large batches, this for accuracy
+    anchors and validation.
+    """
+    meta = model.meta
+    if meta.time_type != "continuous":
+        raise ValueError("zoh_step_bilinear needs a continuous-time model")
+    A = jnp.asarray(model.A)
+    Bm = jnp.asarray(model.B)
+    Ts = meta.Ts
+
+    def step(z, u):
+        gen = A + jnp.einsum("kmj,m->kj", Bm, u)
+        return jax.scipy.linalg.expm(Ts * gen) @ z
+
+    return step
 
 
 # ---- open-loop validation rollouts ----------------------------------------
@@ -202,10 +236,18 @@ def rollout_linear(model: LinearModel, z0, U, W=None):
     return Y, Z
 
 
-def rollout_bilinear(model: BilinearModel, z0, U, W=None):
+def rollout_bilinear(model: BilinearModel, z0, U, W=None,
+                     continuous_stepper: str = "rk4"):
+    """``continuous_stepper`` (continuous-time models only): 'rk4' (fast
+    fixed-substep default) or 'zoh' (exact u-dependent matrix exponential,
+    ``zoh_step_bilinear``)."""
     meta = model.meta
-    stepper = (model.step if meta.time_type == "discrete"
-               else _maybe_continuous_step(model, meta))
+    if meta.time_type == "discrete":
+        stepper = model.step
+    elif continuous_stepper == "zoh":
+        stepper = zoh_step_bilinear(model)
+    else:
+        stepper = _maybe_continuous_step(model, meta)
 
     def remix(z, w):
         zN = z[: meta.N]

@@ -62,3 +62,53 @@ def test_as_discrete_passthrough(arm_dataset):
     ks = Ksysid(arm_dataset, SysidConfig(obs_type=("poly",), obs_degree=(1,))
                 ).train_models()
     assert as_discrete(ks.model) is ks.model
+
+
+def test_zoh_step_bilinear_exact(rng):
+    """The u-dependent matrix-exponential stepper (``zoh_step_bilinear``)
+    is EXACT for a continuous bilinear system under ZOH input: it must
+    match a very fine rk4 integration of the same vector field and beat
+    the default-resolution rk4 stepper."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from koopman_realizations_tpu.models.koopman import (
+        BilinearModel,
+        ModelMeta,
+        rollout_bilinear,
+        zoh_step_bilinear,
+    )
+    from koopman_realizations_tpu.ops.integrators import rk4
+
+    NL, m, Ts = 5, 2, 0.1
+    A = rng.normal(size=(NL, NL)) * 0.8
+    A = A - 1.2 * np.eye(NL)            # comfortably stable generator
+    B = rng.normal(size=(NL, m, NL)) * 0.3
+    meta = ModelMeta(n=NL, m=m, nw=0, nd=0, N=NL, nzeta=NL, Ts=Ts,
+                     model_type="bilinear", time_type="continuous")
+    model = BilinearModel(A=jnp.asarray(A), B=jnp.asarray(B),
+                          C=jnp.asarray(np.eye(NL)), K=None, meta=meta)
+    z0 = jnp.asarray(rng.normal(size=NL) * 0.5)
+    U = jnp.asarray(rng.uniform(-1, 1, (12, m)))
+
+    step_zoh = zoh_step_bilinear(model)
+    fine = lambda z, u: rk4(lambda zz: model.step(zz, u), z, Ts, 512)
+
+    z_z, z_f = z0, z0
+    for k in range(U.shape[0] - 1):
+        z_z = step_zoh(z_z, U[k])
+        z_f = fine(z_f, U[k])
+    np.testing.assert_allclose(np.asarray(z_z), np.asarray(z_f), rtol=0,
+                               atol=1e-8)
+
+    # rollout plumbing: the 'zoh' stepper option threads through
+    Y_z, _ = rollout_bilinear(model, z0, U, continuous_stepper="zoh")
+    Y_r, _ = rollout_bilinear(model, z0, U)          # rk4 substeps
+    assert np.all(np.isfinite(np.asarray(Y_z)))
+    # both near the fine truth; zoh at machine-level accuracy
+    np.testing.assert_allclose(np.asarray(Y_z)[-1], np.asarray(z_f),
+                               rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Y_r)[-1], np.asarray(z_f),
+                               rtol=0, atol=1e-4)
