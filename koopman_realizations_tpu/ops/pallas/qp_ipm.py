@@ -339,7 +339,7 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
 def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
                             interpret: bool = False,
                             tol: float = 3e-3, gap_sane: float = 5e-2,
-                            tile: int = LANE_TILE, band: int = None,
+                            tile: int = None, band: int = None,
                             lam0=None, shared_P: bool = False):
     """Batched lane-shared-A interior-point solve; returns (x, lam, ok, gap).
 
@@ -368,6 +368,19 @@ def solve_qp_shared_batched(P, q, A, b, x0=None, iters: int = 10,
     b = jnp.asarray(b, jnp.float32)
     B, n = q.shape
     mc = A.shape[0]
+    if tile is None:
+        import os
+        env = os.environ.get("KMPC_SHARED_TILE")
+        # measured: the per-lane-P dense kernel collapses above 128 (n=27,
+        # mc=108); the lane-SHARED-P variant at the slim blocked shape
+        # (n=12, mc=48) prefers wider tiles like the factored kernel --
+        # see the linear-controller sweep note below
+        if env:
+            tile = int(env)
+        elif shared_P and n <= 16:
+            tile = FACTORED_LANE_TILE_SLIM
+        else:
+            tile = LANE_TILE
 
     # equilibration (ops.qp._solve_qp_impl): per-lane objective scale,
     # shared constraint-row scale
