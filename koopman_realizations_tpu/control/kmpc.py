@@ -39,6 +39,7 @@ from koopman_realizations_tpu.models.koopman import (
 from koopman_realizations_tpu.ops.qp import (
     solve_qp,
     solve_qp_bilinear,
+    solve_qp_bilinear_lifted,
     solve_qp_factored,
     solve_qp_nmpc,
 )
@@ -560,6 +561,12 @@ def bilinear_consts(mpc: "BilinearKmpc") -> dict:
             # round-4 notes).  KMPC_FUSED_ASSEMBLY=0 opts out.
             c.update({"PGWb": mpc.PGWb, "PAsq": mpc.PAsq, "sqq": mpc.sqq,
                       "PG0": mpc.PG0})
+            if mpc._lift_gens is not None:
+                # lift-fused variant (see BilinearKmpc lift-gens build):
+                # only consumed when the caller passes the matching static
+                # ``lift_tables`` (BilinearKmpc.solve does; the lasso
+                # sweep does not and keeps the z-consuming route)
+                c.update({"LF_" + k: v for k, v in mpc._lift_gens.items()})
     elif os.environ.get("KMPC_FUSED_ASSEMBLY") not in (None, "", "0"):
         # Opt-in: route the first bilinear pass through the assembly-fused
         # kernel (``ops.qp.solve_qp_bilinear``).  OFF by default: the
@@ -581,7 +588,7 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
                         m: int, n: int, nproj: int, qp_iters: int,
                         iters: int = 1, warm: bool = True,
                         backend: str = "auto", band: int = None,
-                        lam_init=None):
+                        lam_init=None, lift_tables=None):
     """Stateless iter-relinearized bilinear MPC solve
     (``get_mpcInput_bilinear_iter:817-904``); the single implementation
     behind both ``BilinearKmpc.solve`` and the vmapped lasso sweep.
@@ -677,6 +684,19 @@ def bilinear_solve_pure(c: dict, z, u_prev, refhor, U_init, *, Np: int,
             sol = solve_qp(Pz, fz, Az, bz, iters=qp_iters,
                            x0=x0 if warm else None, shared_A=False,
                            backend=backend, band_offset=band, lam0=lam_init)
+        elif it == 0 and blocked and lift_tables is not None \
+                and "LF_Gz" in c and c["cFjT"].shape[-1] > 0:
+            # blocked LIFT-fused first pass: the kernel consumes the RAW
+            # zeta (``z`` here IS zeta -- the controller advertises
+            # wants_zeta and Ksim skips the lift); monomials + PCA fold
+            # run in VMEM / in the folded generators
+            sol = solve_qp_bilinear_lifted(
+                z, u_prev, c["sqq"] * Yr,
+                {k: c["LF_" + k] for k in ("Gz", "Gm", "Gb", "Hz", "Hm",
+                                           "Hb", "Pz", "Pm", "Pb")},
+                c["RdT"], c["FjT"], c["cFjT"], c["F0T"], lift_tables,
+                iters=qp_iters, x0=x0 if warm else None, backend=backend,
+                band_offset=band, lam0=lam_init)
         elif it == 0 and blocked and "PGWb" in c \
                 and c["cFjT"].shape[-1] > 0:
             # blocked shared-Beta first pass, assembly-fused: the reduced
@@ -799,6 +819,15 @@ class BilinearKmpc(_KmpcBase):
 
         self.PG = fuse(self.PAt)
         self.EG = fuse(self.EAt) if self._sb_lo is not None else None
+        # LIFT-FUSED generators (round 4): for single-poly + PCA bases the
+        # lifted state z = [zeta; pcs^T g(zeta); 1] is linear in
+        # [zeta; poly feats; 1], so the PCA projection and constant column
+        # fold into the assembly generators host-side (f64) and the kernel
+        # can consume the RAW zeta (``_bilin_lift_kernel`` builds the
+        # monomials in VMEM).  The controller then advertises
+        # ``wants_zeta`` and Ksim skips the XLA lift entirely.
+        self._lift_gens = None
+        self._lift_tables = None
         # fused-assembly kernel generators (ops.pallas.qp_ipm._bilin_kernel):
         # sqrt(Q)-scaled views of the same f64 contraction, laid out so the
         # kernel's W rows are static (n, T) slices and the CB0 u_prev
@@ -829,6 +858,47 @@ class BilinearKmpc(_KmpcBase):
              * np.asarray(self.PA, np.float64).reshape(p_rows, NL))
             .astype(dt))
         self.sqq = jnp.asarray(sq64.astype(dt))
+        basis = model.basis
+        if (self._Tb is not None and self._sb_lo is None
+                and self.meta.nw == 0 and cfg.bilinear_iters == 1
+                and basis is not None and basis.pcs is not None
+                and len(basis.families) == 1
+                and basis.families[0][0] == "poly"
+                and os.environ.get("KMPC_FUSED_ASSEMBLY") != "0"
+                and os.environ.get("KMPC_LIFT_FUSED") != "0"):
+            from koopman_realizations_tpu.ops.observables import (
+                poly_parent_tables,
+            )
+            nzq = basis.nzeta_aug
+            P_T = np.asarray(basis.pcs, np.float64).T   # (npcs, N_full)
+            npcs = P_T.shape[0]
+
+            def fold(X):
+                Xp = X[:, nzq:nzq + npcs]
+                return (X[:, :nzq] + Xp @ P_T[:, :nzq],
+                        Xp @ P_T[:, nzq:-1],
+                        X[:, -1] + Xp @ P_T[:, -1])
+
+            nred = self._Tb.shape[1]
+            Gs_b = np.einsum("rjN,jc->rcN", Gs[:, self.m:, :],
+                             np.asarray(self._Tb, np.float64)) \
+                .reshape(p_rows * nred, NL)
+            H_full = np.concatenate([Gs[:, j, :] for j in range(self.m)],
+                                    axis=0)             # (m*p, NL)
+            P_full = sq64[:, None] * np.asarray(self.PA, np.float64) \
+                .reshape(p_rows, NL)
+            gens = {}
+            for name, X in (("G", Gs_b), ("H", H_full), ("P", P_full)):
+                Xz, Xm, Xb = fold(X)
+                gens[name + "z"] = jnp.asarray(Xz.astype(dt))
+                gens[name + "m"] = jnp.asarray(Xm.astype(dt))
+                gens[name + "b"] = jnp.asarray(Xb.astype(dt))
+            self._lift_gens = gens
+            _, tables = poly_parent_tables(nzq, basis.families[0][1])
+            self._lift_tables = tuple(
+                (tuple(int(x) for x in pi), tuple(int(x) for x in di))
+                for pi, di in tables)
+            self.wants_zeta = True
         self._extend_dual_shift(self.n_con)
 
     def consts(self) -> dict:
@@ -863,7 +933,8 @@ class BilinearKmpc(_KmpcBase):
             Np=self.Np, m=self.m, n=self.n, nproj=self.nproj,
             qp_iters=self.cfg.qp_iters, iters=iters,
             backend=self.cfg.qp_backend, band=self._band,
-            lam_init=self._shift_lam(lam_init))
+            lam_init=self._shift_lam(lam_init),
+            lift_tables=self._lift_tables)
         if lam_init is None:
             return U, ok
         return U, ok, lam

@@ -100,6 +100,10 @@ class Ksim:
         # lifted state
         if isinstance(self.mpc, NonlinearKmpc):
             return zeta
+        if getattr(self.mpc, "wants_zeta", False):
+            # lift-fused bilinear controller: the poly lift runs inside
+            # the QP kernel; the loop ships the raw zeta
+            return zeta
         basis = self.mpc.model.basis
         if self.meta.nw > 0:
             return basis.lift_loaded(zeta, what)

@@ -611,6 +611,223 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
     return x, lam_orig, ok, gap
 
 
+def _bilin_lift_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p,
+                       m, nz, tables,
+                       zt_ref, up_ref, x0_ref, sqYr_ref, rdiag_ref,
+                       Gz_ref, Gm_ref, Gb_ref, Hz_ref, Hm_ref, Hb_ref,
+                       Pz_ref, Pm_ref, Pb_ref, cFr_ref, F0r_ref,
+                       A_ref, At_ref, *rest):
+    """Fused bilinear-MPC tile with the POLY LIFT in the prologue.
+
+    One stage earlier than ``_bilin_kernel``: the lane ships its raw
+    measurement window zeta (nz, T) instead of the lifted state z (NL, T).
+    The degree-blocked monomial recurrence (``poly_parent_tables``: each
+    block-d monomial = parent block-(d-1) row x one zeta row -- all static
+    vector ops) builds the 77 poly features in VMEM, and the PCA econ
+    projection + constant column of z = [zeta; pcs^T g; 1] are FOLDED
+    host-side into the assembly generators, split per z-section:
+
+        W  = unflatten(Gz @ zeta + Gm @ monos + Gb)        (p*n rows)
+        CB0 = Hz @ zeta + Hm @ monos + Hb                  (m*p rows)
+        v  = Pz @ zeta + Pm @ monos + Pb - sqYr + CB0 u    (p rows)
+
+    then the factored Gram + Mehrotra loop run as in ``_bilin_kernel``.
+    Removes the XLA lift (its monomial/PCA intermediates were ~6% of the
+    bilinear step at B=65536) and shrinks the per-lane kernel input
+    NL -> nz.
+    """
+    T = tile
+    reg = jnp.float32(1e-7)
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (rowi == coli).astype(jnp.float32)
+
+    x_ref, s_ref, lam_ref, obj_ref = rest[-4:]
+    zt = zt_ref[...]                                   # (nz, T)
+    up = up_ref[...]                                   # (m, T)
+
+    # ---- in-VMEM degree-blocked poly lift -------------------------------
+    zrows = [zt[i] for i in range(nz)]
+    feats = []
+    prev = zrows
+    for parent_idx, dim_idx in tables:
+        new = [prev[int(pi)] * zrows[int(di)]
+               for pi, di in zip(parent_idx, dim_idx)]
+        feats.extend(new)
+        prev = new
+    monos = jnp.stack(feats, axis=0)                   # (77, T)
+
+    # ---- assembly against the z-section-folded generators ---------------
+    Wf = _dot(Gz_ref[...], zt) + _dot(Gm_ref[...], monos) + Gb_ref[...]
+    CB0 = _dot(Hz_ref[...], zt) + _dot(Hm_ref[...], monos) + Hb_ref[...]
+    v = (_dot(Pz_ref[...], zt) + _dot(Pm_ref[...], monos) + Pb_ref[...]
+         - sqYr_ref[...])
+    for j in range(m):
+        v = v + CB0[j * p:(j + 1) * p, :] * up[j][None, :]
+    b = jnp.broadcast_to(cFr_ref[...], (mc, T))
+    F0r = F0r_ref[...]                                 # (mc, m)
+    for j in range(m):
+        b = b - F0r[:, j][:, None] * up[j][None, :]
+
+    # ---- factored Gram + objective scale (as _bilin_kernel) -------------
+    rdiag_obj = rdiag_ref[0, :]                        # (n,) shared
+    P = (eye * (2.0 * rdiag_obj)[None, :])[..., None]
+    qv = jnp.zeros((n, T), jnp.float32)
+    for r in range(p):
+        Wr = Wf[r * n:(r + 1) * n, :]                  # (n, T)
+        P = P + 2.0 * (Wr[:, None, :] * Wr[None, :, :])
+        qv = qv + Wr * v[r][None, :]
+    qv = 2.0 * qv
+    obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(0, 1)), 1e-8)   # (T,)
+    iobj = 1.0 / obj
+    obj_ref[...] = obj[None, :]
+    Pr = P * iobj[None, None, :] + reg * eye[..., None]
+    q = qv * iobj[None, :]
+
+    A = A_ref[...]
+    At = At_ref[...]
+    form_AtDA = _make_form_AtDA(band, n, T, rest, eye, rowi, coli)
+
+    x0 = x0_ref[...]
+    if warm_dual:
+        lam0 = jnp.sqrt(jnp.clip(rest[-5][...] * iobj[None, :], 1e-4, 1e4))
+    else:
+        lam0 = jnp.ones((mc, T), jnp.float32)
+
+    x, s, lam = _mehrotra_loop(n, mc, iters, slack_floor, Pr, q, b, A, At,
+                               form_AtDA, x0, lam0)
+    x_ref[...] = x
+    s_ref[...] = s
+    lam_ref[...] = lam
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "interpret", "tol", "gap_sane",
+                                    "tile", "band", "tables"))
+def solve_qp_bilinear_lifted_batched(zeta, u_prev, sqYr, Gz, Gm, Gb, Hz, Hm,
+                                     Hb, Pz, Pm, Pb, r_diag, A, cF, F0,
+                                     x0=None, iters: int = 10, *,
+                                     tables, interpret: bool = False,
+                                     tol: float = 3e-3,
+                                     gap_sane: float = 5e-2,
+                                     tile: int = None, band: int = None,
+                                     lam0=None):
+    """Lift-fused bilinear batched IPM (see ``_bilin_lift_kernel``).
+
+    Per-lane: zeta (B, nz) raw controller state, u_prev (B, m), x0/lam0.
+    Lane-shared: the z-section-folded generators -- Gz (p*n, nz) /
+    Gm (p*n, n_monos) / Gb (p*n, 1) for W, H* (m*p, .) for CB0,
+    P* (p, .) for v -- plus sqYr, r_diag, A/cF/F0 as in the fused
+    bilinear kernel.  ``tables`` are ``poly_parent_tables`` gather pairs
+    as nested tuples (static).
+    """
+    zeta = jnp.asarray(zeta, jnp.float32)
+    u_prev = jnp.asarray(u_prev, jnp.float32)
+    A = jnp.asarray(A, jnp.float32)
+    B = zeta.shape[0]
+    nz = zeta.shape[1]
+    n = A.shape[1]
+    mc = A.shape[0]
+    p = Pz.shape[0]
+    m = u_prev.shape[1]
+    if tile is None:
+        tile = factored_tile_for(n)
+
+    row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)        # (mc,)
+    A_eq = A / row[:, None]
+    cFr = jnp.asarray(cF, jnp.float32) / row
+    F0r = jnp.asarray(F0, jnp.float32) / row[:, None]
+
+    slack_floor = 1.0 if x0 is None else 1e-2
+    if x0 is None:
+        x0 = jnp.zeros((B, n), jnp.float32)
+    x0 = jnp.asarray(x0, jnp.float32)
+    warm_dual = lam0 is not None
+    if warm_dual:
+        lam0_row = jnp.asarray(lam0, jnp.float32) * row[None, :]
+
+    At = A_eq.T
+    if band is None:
+        structured = (jnp.einsum("ci,cj->ijc", A_eq, A_eq).reshape(n * n, mc),)
+        struct_specs = [(n * n, mc)]
+    else:
+        Wd = (A_eq * A_eq).T
+        if band > 0:
+            Wo = (A_eq[:, :n - band] * A_eq[:, band:]).T
+        else:
+            Wo = jnp.zeros((1, mc), jnp.float32)
+        structured = (Wd, Wo)
+        struct_specs = [(n, mc), (Wo.shape[0], mc)]
+
+    pad = (-B) % tile
+    if pad:
+        zeta = jnp.concatenate(
+            [zeta, jnp.zeros((pad, nz), zeta.dtype)], 0)
+        u_prev = jnp.concatenate(
+            [u_prev, jnp.zeros((pad, m), u_prev.dtype)], 0)
+        x0 = jnp.concatenate([x0, jnp.zeros((pad, n), x0.dtype)], 0)
+        if warm_dual:
+            lam0_row = jnp.concatenate(
+                [lam0_row, jnp.ones((pad, mc), jnp.float32)], 0)
+    Bp = zeta.shape[0]
+
+    kern = functools.partial(_bilin_lift_kernel, n, mc, iters, slack_floor,
+                             tile, band, warm_dual, p, m, nz, tables)
+    lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    n_mono = Gm.shape[1]
+    xt, st, lamt, objt = pl.pallas_call(
+        kern,
+        grid=(Bp // tile,),
+        in_specs=[
+            lane2(nz), lane2(m), lane2(n),
+            shared(p, 1), shared(1, n),
+            shared(p * n, nz), shared(p * n, n_mono), shared(p * n, 1),
+            shared(m * p, nz), shared(m * p, n_mono), shared(m * p, 1),
+            shared(p, nz), shared(p, n_mono), shared(p, 1),
+            shared(mc, 1), shared(mc, m),
+            shared(mc, n), shared(n, mc),
+            *[shared(r, c) for r, c in struct_specs],
+            *([lane2(mc)] if warm_dual else []),
+        ],
+        out_specs=[lane2(n), lane2(mc), lane2(mc), lane2(1)],
+        out_shape=[jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Bp), jnp.float32)],
+        interpret=interpret,
+    )(zeta.T, u_prev.T, x0.T,
+      jnp.asarray(sqYr, jnp.float32)[:, None],
+      jnp.asarray(r_diag, jnp.float32)[None],
+      jnp.asarray(Gz, jnp.float32), jnp.asarray(Gm, jnp.float32),
+      jnp.asarray(Gb, jnp.float32).reshape(-1, 1),
+      jnp.asarray(Hz, jnp.float32), jnp.asarray(Hm, jnp.float32),
+      jnp.asarray(Hb, jnp.float32).reshape(-1, 1),
+      jnp.asarray(Pz, jnp.float32), jnp.asarray(Pm, jnp.float32),
+      jnp.asarray(Pb, jnp.float32).reshape(-1, 1),
+      cFr[:, None], F0r, A_eq, At, *structured,
+      *([lam0_row.T] if warm_dual else []))
+
+    x = xt.T[:B]
+    s = st.T[:B]
+    lam = lamt.T[:B]
+    obj = objt[0, :B]
+
+    with jax.default_matmul_precision("highest"):
+        b_eq = cFr[None, :] - jnp.asarray(u_prev[:B], jnp.float32) @ F0r.T
+        gap = jnp.sum(s * lam, axis=1) / mc
+        r_p = jnp.max(jnp.maximum(x @ A_eq.T - b_eq, 0.0), axis=1)
+        finite = jnp.all(jnp.isfinite(x), axis=1)
+        ok = finite & (gap < gap_sane) \
+            & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b_eq), axis=1), 1.0))
+        x = jnp.where(finite[:, None], x, jnp.nan)
+        lam_orig = lam * obj[:, None] / row[None, :]
+    return x, lam_orig, ok, gap
+
+
 def _bilin_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p, m,
                   z_ref, up_ref, x0_ref, sqYr_ref, rdiag_ref,
                   PGW_ref, PG0_ref, PAsq_ref, cFr_ref, F0r_ref,

@@ -410,6 +410,153 @@ def _bilinear_routed_solver(iters: int, warm: bool, band: int,
     return solve
 
 
+def _bilin_lift_assemble(zeta, up, sqYr, Gz, Gm, Gb, Hz, Hm, Hb,
+                         Pz, Pm, Pb, tables, p):
+    """One lane's XLA lift + assembly against the z-section-folded
+    generators -- the exact math ``_bilin_lift_kernel`` runs in VMEM
+    (pure fallback / parity oracle).  Returns (W (p, n), v (p,))."""
+    feats = []
+    prev = zeta
+    for parent_idx, dim_idx in tables:
+        prev = prev[jnp.asarray(parent_idx)] * zeta[jnp.asarray(dim_idx)]
+        feats.append(prev)
+    monos = jnp.concatenate(feats) if feats else \
+        jnp.zeros((0,), zeta.dtype)
+    n = Gz.shape[0] // p
+    m = up.shape[-1]
+    W = (Gz @ zeta + Gm @ monos + Gb).reshape(p, n)
+    CB0 = (Hz @ zeta + Hm @ monos + Hb).reshape(m, p).T
+    v = Pz @ zeta + Pm @ monos + Pb - sqYr + CB0 @ up
+    return W, v
+
+
+def solve_qp_bilinear_lifted(zeta, u_prev, sqYr, lifted: dict, r_diag, A,
+                             cF, F0, tables, iters: int = 25, x0=None,
+                             backend: str = "auto", band_offset: int = None,
+                             lam0=None) -> QPSolution:
+    """Lift-fused bilinear solve: the POLY LIFT, the QP assembly, and the
+    interior point run inside one Pallas kernel when batched
+    (``ops.pallas.qp_ipm.solve_qp_bilinear_lifted_batched``).
+
+    ``lifted`` carries the z-section-folded generators (Gz/Gm/Gb for W,
+    Hz/Hm/Hb for CB0, Pz/Pm/Pb for v -- ``BilinearKmpc`` precomputes
+    them in f64); ``tables`` the ``poly_parent_tables`` gather pairs as
+    nested tuples.  The lane ships its RAW zeta; no lifted state exists
+    outside the kernel.  Semantics are lane-for-lane those of lifting in
+    XLA and calling ``solve_qp_factored``.
+    """
+    _debug_check_band(A, band_offset)
+    return _solve_qp_bilinear_lifted(
+        zeta, u_prev, sqYr, lifted["Gz"], lifted["Gm"], lifted["Gb"],
+        lifted["Hz"], lifted["Hm"], lifted["Hb"], lifted["Pz"],
+        lifted["Pm"], lifted["Pb"], r_diag, A, cF, F0, tables, iters, x0,
+        backend, band_offset, lam0)
+
+
+@partial(jax.jit,
+         static_argnames=("tables", "iters", "backend", "band_offset"))
+def _solve_qp_bilinear_lifted(zeta, u_prev, sqYr, Gz, Gm, Gb, Hz, Hm, Hb,
+                              Pz, Pm, Pb, r_diag, A, cF, F0, tables, iters,
+                              x0, backend, band_offset,
+                              lam0=None) -> QPSolution:
+    with jax.default_matmul_precision("highest"):
+        use_pallas = (backend != "jax"
+                      and jnp.asarray(cF).shape[-1] > 0
+                      and jnp.asarray(zeta).dtype == jnp.float32
+                      and jax.default_backend() in ("tpu", "axon"))
+        p = Pz.shape[0]
+        if not use_pallas:
+            W, v = _bilin_lift_assemble(zeta, u_prev, sqYr, Gz, Gm, Gb,
+                                        Hz, Hm, Hb, Pz, Pm, Pb, tables, p)
+            b = cF - F0 @ u_prev
+            P, q = _factored_Pq(W, v, r_diag)
+            return _solve_qp_impl(P, q, A, b, iters, x0, True, lam0)
+        warm = x0 is not None
+        if x0 is None:
+            x0 = jnp.zeros(A.shape[-1:], jnp.float32)
+        warm_dual = lam0 is not None
+        if lam0 is None:
+            lam0 = jnp.ones(cF.shape, jnp.float32)
+        f = _bilin_lifted_routed_solver(tables, iters, warm, band_offset,
+                                        warm_dual)
+        x, lam, ok, gap = f(
+            jnp.asarray(zeta, jnp.float32), jnp.asarray(u_prev, jnp.float32),
+            jnp.asarray(sqYr, jnp.float32), Gz, Gm, Gb, Hz, Hm, Hb,
+            Pz, Pm, Pb, jnp.asarray(r_diag, jnp.float32),
+            jnp.asarray(A, jnp.float32), jnp.asarray(cF, jnp.float32),
+            jnp.asarray(F0, jnp.float32), jnp.asarray(x0, jnp.float32),
+            jnp.asarray(lam0, jnp.float32))
+        return QPSolution(x=x, lam=lam, ok=ok, gap=gap)
+
+
+def _bilin_lifted_routed_solver(tables, iters: int, warm: bool, band: int,
+                                warm_dual: bool):
+    """custom_vmap'd lift-fused bilinear solver (see the fused/factored
+    siblings)."""
+    key = ("bilin_lift", tables, iters, warm, band, warm_dual)
+    f = _ROUTED_CACHE.get(key)
+    if f is not None:
+        return f
+    from jax.custom_batching import custom_vmap
+
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_bilinear_lifted_batched,
+    )
+
+    def _pure(zeta, up, sqYr, Gz, Gm, Gb, Hz, Hm, Hb, Pz, Pm, Pb, r_diag,
+              A, cF, F0, x0, lam0):
+        W, v = _bilin_lift_assemble(zeta, up, sqYr, Gz, Gm, Gb, Hz, Hm, Hb,
+                                    Pz, Pm, Pb, tables, Pz.shape[0])
+        b = cF - F0 @ up
+        P, q = _factored_Pq(W, v, r_diag)
+        sol = _solve_qp_impl(P, q, A, b, iters, x0 if warm else None, True,
+                             lam0 if warm_dual else None)
+        return sol.x, sol.lam, sol.ok, sol.gap
+
+    @custom_vmap
+    def solve(zeta, up, sqYr, Gz, Gm, Gb, Hz, Hm, Hb, Pz, Pm, Pb, r_diag,
+              A, cF, F0, x0, lam0):
+        return _pure(zeta, up, sqYr, Gz, Gm, Gb, Hz, Hm, Hb, Pz, Pm, Pb,
+                     r_diag, A, cF, F0, x0, lam0)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, zeta, up, sqYr, Gz, Gm, Gb, Hz, Hm,
+              Hb, Pz, Pm, Pb, r_diag, A, cF, F0, x0, lam0):
+        (zb, ub, Yrb, *genb, rb, Ab, cFb, F0b, xb, lb) = in_batched
+        if any(genb) or rb or Ab or cFb or F0b:
+            out = jax.vmap(_pure, in_axes=tuple(
+                0 if bi else None for bi in in_batched))(
+                    zeta, up, sqYr, Gz, Gm, Gb, Hz, Hm, Hb, Pz, Pm, Pb,
+                    r_diag, A, cF, F0, x0, lam0)
+            return out, (True, True, True, True)
+        bc = lambda val, vib: val if vib else \
+            jnp.broadcast_to(val[None], (axis_size,) + val.shape)
+        if Yrb:
+            # per-lane reference windows: assemble in XLA, factored kernel
+            def one(zi, ui, Yi, xi, li):
+                W, v = _bilin_lift_assemble(zi, ui, Yi, Gz, Gm, Gb, Hz, Hm,
+                                            Hb, Pz, Pm, Pb, tables,
+                                            Pz.shape[0])
+                b = cF - F0 @ ui
+                sol = _solve_qp_factored(
+                    W, v, r_diag, A, b, iters, xi if warm else None,
+                    "auto", band, li if warm_dual else None)
+                return sol.x, sol.lam, sol.ok, sol.gap
+
+            out = jax.vmap(one)(bc(zeta, zb), bc(up, ub), sqYr,
+                                bc(x0, xb), bc(lam0, lb))
+            return out, (True, True, True, True)
+        x, lam, ok, gap = solve_qp_bilinear_lifted_batched(
+            bc(zeta, zb), bc(up, ub), sqYr, Gz, Gm, Gb, Hz, Hm, Hb,
+            Pz, Pm, Pb, r_diag, A, cF, F0,
+            x0=bc(x0, xb) if warm else None, iters=iters, tables=tables,
+            band=band, lam0=bc(lam0, lb) if warm_dual else None)
+        return (x, lam, ok, gap), (True, True, True, True)
+
+    _ROUTED_CACHE[key] = solve
+    return solve
+
+
 def _nmpc_condense_assemble(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, cols,
                             m):
     """One lane's XLA condensation + factored assembly -- the exact math

@@ -612,3 +612,76 @@ def test_kernel_nmpc_per_lane_ref_matches_shared():
     dx = np.abs(np.asarray(x_k) - np.asarray(x_f))[okm2]
     assert np.median(dx) < 5e-5
     assert dx.max() < 5e-3
+
+
+def test_kernel_bilinear_lift_fused_matches_factored():
+    """The LIFT-fused bilinear kernel (poly monomials + PCA-folded assembly
+    + IPM in VMEM, round 4) must match lifting/assembling in XLA and
+    solving on the factored kernel, lane-for-lane, at the blocked
+    shipping shape."""
+    from koopman_realizations_tpu.config import MpcConfig
+    from koopman_realizations_tpu.control.kmpc import (
+        input_constraint_rows,
+        move_blocking,
+    )
+    from koopman_realizations_tpu.ops.observables import poly_parent_tables
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_bilinear_lifted_batched,
+        solve_qp_factored_batched,
+    )
+    from koopman_realizations_tpu.ops.qp import _bilin_lift_assemble
+
+    mI, Np, blocks = 3, 10, (1, 1, 2, 5)
+    nz, nproj, deg = 6, 2, 3
+    cfg = MpcConfig(horizon=Np, input_bounds=(-2.7, 2.7),
+                    input_slopeConst=1e-1, input_blocks=blocks)
+
+    class S:
+        u_factor = np.ones(mI)
+
+        def u_down(self, u):
+            return np.asarray(u)
+
+    F, cF = input_constraint_rows(cfg, mI, Np, S())
+    _, _, Fr, F0r, cr, _ = move_blocking(blocks, mI, Np, F, cF)
+    n = Fr.shape[1]
+    mc = Fr.shape[0]
+    p = (Np + 1) * nproj
+    _, tab = poly_parent_tables(nz, deg)
+    tables = tuple((tuple(int(x) for x in a), tuple(int(x) for x in b_))
+                   for a, b_ in tab)
+    n_mono = sum(len(a) for a, _ in tables)
+
+    B = 96
+    rng = np.random.default_rng(17)
+    mk = lambda *sh: (0.2 * rng.standard_normal(sh)).astype(np.float32)
+    Gz, Gm, Gb = mk(p * n, nz), mk(p * n, n_mono), mk(p * n)
+    Hz, Hm, Hb = mk(mI * p, nz), mk(mI * p, n_mono), mk(mI * p)
+    Pz, Pm, Pb = mk(p, nz), mk(p, n_mono), mk(p)
+    sqYr = mk(p)
+    r = (np.abs(rng.normal(size=n)) * 0.05).astype(np.float32)
+    zeta = (0.4 * rng.standard_normal((B, nz))).astype(np.float32)
+    up = mk(B, mI)
+    x0 = jnp.zeros((B, n), jnp.float32)
+    lam0 = jnp.ones((B, mc), jnp.float32)
+
+    W, v = jax.vmap(lambda zi, ui: _bilin_lift_assemble(
+        zi, ui, jnp.asarray(sqYr), jnp.asarray(Gz), jnp.asarray(Gm),
+        jnp.asarray(Gb), jnp.asarray(Hz), jnp.asarray(Hm), jnp.asarray(Hb),
+        jnp.asarray(Pz), jnp.asarray(Pm), jnp.asarray(Pb), tables, p))(
+            jnp.asarray(zeta), jnp.asarray(up))
+    b = cr[None].astype(np.float32) - up @ F0r.T.astype(np.float32)
+    x_f, _, ok_f, _ = solve_qp_factored_batched(
+        W, v, jnp.asarray(r), jnp.asarray(Fr, jnp.float32), jnp.asarray(b),
+        x0=x0, iters=16, band=mI, lam0=lam0, interpret=True)
+    x_l, _, ok_l, _ = solve_qp_bilinear_lifted_batched(
+        jnp.asarray(zeta), jnp.asarray(up), jnp.asarray(sqYr),
+        Gz, Gm, Gb, Hz, Hm, Hb, Pz, Pm, Pb, jnp.asarray(r),
+        jnp.asarray(Fr, jnp.float32), jnp.asarray(cr, jnp.float32),
+        jnp.asarray(F0r, jnp.float32), x0=x0, iters=16, tables=tables,
+        band=mI, lam0=lam0, interpret=True)
+    okm = np.asarray(ok_f) & np.asarray(ok_l)
+    assert okm.mean() > 0.9
+    dx = np.abs(np.asarray(x_l) - np.asarray(x_f))[okm]
+    assert np.median(dx) < 5e-5
+    assert dx.max() < 5e-3
