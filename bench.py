@@ -81,7 +81,8 @@ def main():
         else None
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
         horizon=10, qp_iters=int(os.environ.get("BENCH_QP_ITERS", "3")),
-        qp_dual_warm=True, qp_dual_shift=False,
+        qp_dual_warm=os.environ.get("BENCH_DUAL_WARM", "1") != "0",
+        qp_dual_shift=False,
         input_blocks=blocks,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1,

@@ -725,6 +725,8 @@ def solve_qp_bilinear_lifted_batched(zeta, u_prev, sqYr, Gz, Gm, Gb, Hz, Hm,
     zeta = jnp.asarray(zeta, jnp.float32)
     u_prev = jnp.asarray(u_prev, jnp.float32)
     A = jnp.asarray(A, jnp.float32)
+    sqYr = jnp.asarray(sqYr, jnp.float32)
+    per_ref = sqYr.ndim == 2               # (B, p) per-lane windows
     B = zeta.shape[0]
     nz = zeta.shape[1]
     n = A.shape[1]
@@ -767,6 +769,9 @@ def solve_qp_bilinear_lifted_batched(zeta, u_prev, sqYr, Gz, Gm, Gb, Hz, Hm,
         u_prev = jnp.concatenate(
             [u_prev, jnp.zeros((pad, m), u_prev.dtype)], 0)
         x0 = jnp.concatenate([x0, jnp.zeros((pad, n), x0.dtype)], 0)
+        if per_ref:
+            sqYr = jnp.concatenate(
+                [sqYr, jnp.zeros((pad, p), jnp.float32)], 0)
         if warm_dual:
             lam0_row = jnp.concatenate(
                 [lam0_row, jnp.ones((pad, mc), jnp.float32)], 0)
@@ -784,7 +789,7 @@ def solve_qp_bilinear_lifted_batched(zeta, u_prev, sqYr, Gz, Gm, Gb, Hz, Hm,
         grid=(Bp // tile,),
         in_specs=[
             lane2(nz), lane2(m), lane2(n),
-            shared(p, 1), shared(1, n),
+            lane2(p) if per_ref else shared(p, 1), shared(1, n),
             shared(p * n, nz), shared(p * n, n_mono), shared(p * n, 1),
             shared(m * p, nz), shared(m * p, n_mono), shared(m * p, 1),
             shared(p, nz), shared(p, n_mono), shared(p, 1),
@@ -800,7 +805,7 @@ def solve_qp_bilinear_lifted_batched(zeta, u_prev, sqYr, Gz, Gm, Gb, Hz, Hm,
                    jax.ShapeDtypeStruct((1, Bp), jnp.float32)],
         interpret=interpret,
     )(zeta.T, u_prev.T, x0.T,
-      jnp.asarray(sqYr, jnp.float32)[:, None],
+      sqYr.T if per_ref else sqYr[:, None],
       jnp.asarray(r_diag, jnp.float32)[None],
       jnp.asarray(Gz, jnp.float32), jnp.asarray(Gm, jnp.float32),
       jnp.asarray(Gb, jnp.float32).reshape(-1, 1),
@@ -1217,6 +1222,8 @@ def solve_qp_bilinear_batched(z, u_prev, sqYr, PGW, PG0, PAsq, r_diag,
     z = jnp.asarray(z, jnp.float32)
     u_prev = jnp.asarray(u_prev, jnp.float32)
     A = jnp.asarray(A, jnp.float32)
+    sqYr = jnp.asarray(sqYr, jnp.float32)
+    per_ref = sqYr.ndim == 2               # (B, p) per-lane windows
     B = z.shape[0]
     n = A.shape[1]
     mc = A.shape[0]
@@ -1260,6 +1267,9 @@ def solve_qp_bilinear_batched(z, u_prev, sqYr, PGW, PG0, PAsq, r_diag,
         u_prev = jnp.concatenate(
             [u_prev, jnp.zeros((pad, m), u_prev.dtype)], 0)
         x0 = jnp.concatenate([x0, jnp.zeros((pad, n), x0.dtype)], 0)
+        if per_ref:
+            sqYr = jnp.concatenate(
+                [sqYr, jnp.zeros((pad, p), jnp.float32)], 0)
         if warm_dual:
             lam0_row = jnp.concatenate(
                 [lam0_row, jnp.ones((pad, mc), jnp.float32)], 0)
@@ -1277,7 +1287,7 @@ def solve_qp_bilinear_batched(z, u_prev, sqYr, PGW, PG0, PAsq, r_diag,
         grid=(Bp // tile,),
         in_specs=[
             lane2(NL), lane2(m), lane2(n),
-            shared(p, 1), shared(1, n),
+            lane2(p) if per_ref else shared(p, 1), shared(1, n),
             shared(p * n, NL), shared(m * p, NL), shared(p, NL),
             shared(mc, 1), shared(mc, m),
             shared(mc, n), shared(n, mc),
@@ -1291,8 +1301,8 @@ def solve_qp_bilinear_batched(z, u_prev, sqYr, PGW, PG0, PAsq, r_diag,
                    jax.ShapeDtypeStruct((1, Bp), jnp.float32)],
         interpret=interpret,
     )(z.T, u_prev.T, x0.T,
-      jnp.asarray(sqYr, jnp.float32)[:, None], jnp.asarray(r_diag,
-                                                           jnp.float32)[None],
+      sqYr.T if per_ref else sqYr[:, None], jnp.asarray(r_diag,
+                                                        jnp.float32)[None],
       jnp.asarray(PGW, jnp.float32), jnp.asarray(PG0, jnp.float32),
       jnp.asarray(PAsq, jnp.float32), cFr[:, None], F0r,
       A_eq, At, *structured,

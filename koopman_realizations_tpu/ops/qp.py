@@ -386,22 +386,12 @@ def _bilinear_routed_solver(iters: int, warm: bool, band: int,
             return out, (True, True, True, True)
         bc = lambda val, vib: val if vib else \
             jnp.broadcast_to(val[None], (axis_size,) + val.shape)
-        if Yrb:
-            # per-lane reference windows (run_multi_ref): assemble in XLA,
-            # solve on the factored kernel via its own routed path
-            def one(zi, ui, Yi, xi, li):
-                W, v, b = _bilin_assemble(zi, ui, Yi, PGW, PG0, PAsq, sq,
-                                          cF, F0)
-                sol = _solve_qp_factored(
-                    W, v, r_diag, A, b, iters, xi if warm else None,
-                    "auto", band, li if warm_dual else None)
-                return sol.x, sol.lam, sol.ok, sol.gap
-
-            out = jax.vmap(one)(bc(z, zb), bc(u_prev, ub), Yr,
-                                bc(x0, xb), bc(lam0, lb))
-            return out, (True, True, True, True)
+        # a batched Yr (run_multi_ref) rides the same kernel as a
+        # per-lane sq*Yr tile (in-kernel subtraction broadcasts either
+        # shape); sq (p,) broadcasts against both (p,) and (B, p)
         x, lam, ok, gap = solve_qp_bilinear_batched(
-            bc(z, zb), bc(u_prev, ub), sq * Yr, PGW, PG0, PAsq, r_diag,
+            bc(z, zb), bc(u_prev, ub),
+            sq * (bc(Yr, Yrb) if Yrb else Yr), PGW, PG0, PAsq, r_diag,
             A, cF, F0, x0=bc(x0, xb) if warm else None, iters=iters,
             band=band, lam0=bc(lam0, lb) if warm_dual else None)
         return (x, lam, ok, gap), (True, True, True, True)
@@ -531,23 +521,12 @@ def _bilin_lifted_routed_solver(tables, iters: int, warm: bool, band: int,
             return out, (True, True, True, True)
         bc = lambda val, vib: val if vib else \
             jnp.broadcast_to(val[None], (axis_size,) + val.shape)
-        if Yrb:
-            # per-lane reference windows: assemble in XLA, factored kernel
-            def one(zi, ui, Yi, xi, li):
-                W, v = _bilin_lift_assemble(zi, ui, Yi, Gz, Gm, Gb, Hz, Hm,
-                                            Hb, Pz, Pm, Pb, tables,
-                                            Pz.shape[0])
-                b = cF - F0 @ ui
-                sol = _solve_qp_factored(
-                    W, v, r_diag, A, b, iters, xi if warm else None,
-                    "auto", band, li if warm_dual else None)
-                return sol.x, sol.lam, sol.ok, sol.gap
-
-            out = jax.vmap(one)(bc(zeta, zb), bc(up, ub), sqYr,
-                                bc(x0, xb), bc(lam0, lb))
-            return out, (True, True, True, True)
+        # a batched sqYr (run_multi_ref's per-lane trajectories) rides
+        # the same kernel as a per-lane tile (in-kernel subtraction
+        # broadcasts either shape)
         x, lam, ok, gap = solve_qp_bilinear_lifted_batched(
-            bc(zeta, zb), bc(up, ub), sqYr, Gz, Gm, Gb, Hz, Hm, Hb,
+            bc(zeta, zb), bc(up, ub),
+            bc(sqYr, Yrb) if Yrb else sqYr, Gz, Gm, Gb, Hz, Hm, Hb,
             Pz, Pm, Pb, r_diag, A, cF, F0,
             x0=bc(x0, xb) if warm else None, iters=iters, tables=tables,
             band=band, lam0=bc(lam0, lb) if warm_dual else None)
