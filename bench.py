@@ -109,9 +109,13 @@ def main():
     W = np.zeros((batch, 2), np.float32)
 
     # benchmark records only what the metric needs: stacking the full X/Z
-    # trails costs HBM bandwidth the loop never reads back (the B>8192 cliff)
+    # trails costs HBM bandwidth the loop never reads back (the B>8192
+    # cliff); round 4 trims further -- only the PROJECTED outputs are
+    # recorded (the err metric reads nothing else), and R is not recorded
+    # at all (it is lane-constant here and reproducible from the input
+    # reference: R_k = ref row k-1 through the scale round trip)
     runner = sim.batched_runner(ref["y"], steps=steps,
-                                record=("Y", "R", "alive"))
+                                record=("Yp", "alive"))
     # warmup / compile
     out = runner(X0, W)
     jax.block_until_ready(out)
@@ -128,8 +132,11 @@ def main():
 
     alive_frac = float(np.asarray(out["alive"])[:, -1].mean())
     # tracking quality alongside throughput (golden bilinear mean is 0.0203)
-    Yl = np.asarray(out["Y"])[..., 4:6]
-    Rl = np.asarray(out["R"])
+    Yl = np.asarray(out["Yp"])
+    # R_k = scaleup(ref_sc[k-1]) = the input reference row through the
+    # [-1,1] scale round trip (exact to fp eps) -- Ksim.m:199,254 semantics
+    Rl = np.broadcast_to(np.asarray(ref["y"], np.float32)[None, : steps - 1],
+                         Yl.shape)
     lane_err = np.sqrt(((Yl - Rl) ** 2).sum(-1)).mean(axis=1)
     err_mean, err_worst = float(lane_err.mean()), float(lane_err.max())
     # every lane must survive: a silent lane loss would inflate steps/s

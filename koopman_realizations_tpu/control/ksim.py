@@ -192,6 +192,10 @@ class Ksim:
             out_full = {
                 "U": lambda: keep(u_next, jnp.nan * u_next),
                 "Y": lambda: y1,
+                # projected tracked outputs only (y[proj_idx]): the bench
+                # reads nothing else of Y -- recording 2 of 12 dims saves
+                # per-step HBM stores and the post-run fetch
+                "Yp": lambda: y1[jnp.asarray(mpc.proj_idx)],
                 "X": lambda: x1,
                 "R": lambda: scaler.ref_up(refhor[0], mpc.proj_idx),
                 "Z": lambda: z,
