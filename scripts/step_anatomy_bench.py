@@ -90,7 +90,10 @@ def main():
     X, U = pick("X"), pick("U")
     refhor = jnp.asarray(sim.prep_ref(ref["y"])[11: 12 + mpc.Np])
     basis = mpc.model.basis
-    z = jax.jit(jax.vmap(basis.lift))(zeta)
+    if getattr(mpc, "wants_zeta", False):
+        z = zeta          # lift-fused controller: the solve consumes zeta
+    else:
+        z = jax.jit(jax.vmap(basis.lift))(zeta)
     consts = bilinear_consts(mpc)
     Np, m, nproj = mpc.Np, mpc.m, mpc.nproj
 
