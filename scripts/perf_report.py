@@ -108,20 +108,19 @@ def main():
     for mt, B in (("linear", 8192), ("bilinear", 8192), ("nonlinear", 2048)):
         ks = ks_b if mt == "bilinear" else train(mt)
         # per-controller VERIFIED RTI floors (scripts/rti_floor_sweep.py +
-        # scripts/nmpc_sweep.py, round 3, full 301-step blockM spreads),
-        # all with move blocking (1,1,2,5) -- blocking improved every
-        # controller's quality/stability at low iteration counts:
-        #   bilinear : blocked qp_iters=3 + dual warm + stage shift (bench
-        #              config; 192-lane multi-ref grid all alive, err
-        #              0.0188 vs 0.0186 for the old unblocked qp=2)
-        #   linear   : blocked qp_iters=3, NO dual shift (err 0.1313 /
-        #              worst 0.1408 / alive 1.0 -- unblocked qp=3 LOST
+        # scripts/nmpc_sweep.py; round-4 re-measured after the fused
+        # kernels -- cliffs unchanged), all with move blocking (1,1,2,5):
+        #   bilinear : blocked qp_iters=3 + dual warm, NO stage shift
+        #              (round-4 A/B: shift neutral blocked; 192-lane
+        #              multi-ref grid all alive, err 0.0187)
+        #   linear   : blocked qp_iters=3, NO dual warm/shift (err 0.1313
+        #              / worst 0.1408 / alive 1.0 -- unblocked qp=3 LOST
         #              lanes at worst 0.5363, and the shift degrades
         #              linear tracking either way)
-        #   nonlinear: qp_iters=8 -- blocked qp=5 keeps alive 1.0 (the
-        #              unblocked didn't) but err degrades 0.031 -> 0.039;
-        #              the SQP relinearizes about the inner QP's answer,
-        #              so a partially-converged QP moves the linearization
+        #   nonlinear: qp_iters=8, sqp_iters=5 -- fused-kernel re-sweep:
+        #              qp=6 err 0.0360 / sqp=4 0.0367 vs 0.0312; the SQP
+        #              relinearizes about the inner QP's answer, so a
+        #              partially-converged QP moves the linearization
         #              point the WRONG way and the next pass amplifies it
         if mt == "bilinear":
             c = cfg
