@@ -74,6 +74,48 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _split_bf16(X):
+    """Host-side bf16 hi/lo split of an f32 operand (X ~= hi + lo).
+
+    The pair feeds ``_dot3``'s manual 3-pass assembly GEMMs; shipping
+    bf16 halves also halves the operand's VMEM footprint.
+    """
+    X = jnp.asarray(X, jnp.float32)
+    hi = X.astype(jnp.bfloat16)
+    lo = (X - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split_bf16_val(b):
+    """In-kernel bf16 hi/lo split of an f32 VMEM value."""
+    hi = b.astype(jnp.bfloat16)
+    lo = (b - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot1(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot3(ah, al, bh, bl):
+    """Manual 3-pass bf16 matmul (== XLA's HIGH algorithm) for the
+    ASSEMBLY prologue GEMMs: ah bh + ah bl + al bh with f32 accumulation,
+    dropping only the ~2^-18 al*bl term.
+
+    Matches the precision the XLA-side QP assembly always ran at
+    (``kmpc.qp_data``: 3-pass recovers f32 to ~1e-6 and the closed loop
+    is stable at bench tolerances); the interior-point loop itself stays
+    HIGHEST.  Mosaic cannot lower Precision.HIGH, so the split is done by
+    hand: generators split host-side (``_split_bf16``), the per-lane
+    operand once in-kernel.  At the lifted bench shape the prologue GEMMs
+    are most of the kernel's 0.7-0.8 ms fixed cost (kernel_fixed_anatomy;
+    DEFAULT-precision probe: fixed 0.77 -> 0.35 ms), and 6-pass vs 3-pass
+    is ~2x their MXU time.
+    """
+    return _dot1(ah, bh) + _dot1(ah, bl) + _dot1(al, bh)
+
+
 def _chol_lanes(M, n):
     """Lower Cholesky of (n, n, T) lanes-minor SPD blocks, unrolled over n.
 
@@ -115,9 +157,13 @@ def _chol_solve_lanes(L, rdiag, rhs, n):
 
     ``rdiag`` is unused (kept for signature stability): the diagonal scaling
     here is (1, T)-sized and on the accuracy-critical final-answer path, so
-    it stays an exact IEEE divide -- the reciprocal-multiply trick is
-    reserved for the (n, T) Cholesky column scalings where the op count
-    actually matters and the roundoff washes out in the downdates.
+    it stays an exact IEEE divide.  Round-5 re-check: replacing these 2n
+    chained divides with multiplies by the Cholesky's precomputed
+    reciprocal diagonal measured a WASH at the bench shape (1.97 vs 1.94
+    ms/solve, in-process A/B scripts/solve_recip_ab.py) while growing the
+    kernel-vs-kernel worst-lane divergence 6x (test_kernel_factored_q0) --
+    Mosaic already hides these divide latencies, same conclusion as the
+    round-4 1/s-hoist negative.
     """
     acc = rhs                                          # forward: L y = rhs
     ys = []
@@ -288,7 +334,9 @@ def _ipm_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, factored,
             # operands in ``rest``
             qv = qv + rest[1 if band is None else 2][...]
         # per-lane objective scale, exactly as the host path: max |P|
-        obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(0, 1)), 1e-8)   # (T,)
+        # (P is PSD, so the max-abs entry is on the diagonal -- see
+        # _diag_obj_scale)
+        obj = _diag_obj_scale(P, n)                    # (T,)
         iobj = 1.0 / obj
         obj_ref[...] = obj[None, :]
         Pr = P * iobj[None, None, :] + reg * eye[..., None]
@@ -611,33 +659,84 @@ def solve_qp_factored_batched(W, v, r_diag, A, b, x0=None, iters: int = 10,
     return x, lam_orig, ok, gap
 
 
+def _diag_obj_scale(P, n):
+    """Per-lane objective scale max |P| for the PSD factored Hessian.
+
+    P = 2 (W^T W + diag(r)) with r >= 0 is PSD, so |P_ij| <=
+    sqrt(P_ii P_jj) <= max_k P_kk: the max-abs entry IS the max diagonal
+    entry.  Reading n (1, T) diagonal slices replaces the full
+    (n, n, T) abs + 2-axis reduce (144 vs ~12 vreg ops at n=12) --
+    measured as part of the prologue fixed cost (kernel_fixed_anatomy).
+    """
+    obj = P[0, 0, :]
+    for j in range(1, n):
+        obj = jnp.maximum(obj, P[j, j, :])
+    return jnp.maximum(obj, 1e-8)                      # (T,)
+
+
+def _lift_onehot_tables(tables, nz):
+    """Static one-hot selection matrices for the in-kernel poly lift.
+
+    Block d of the degree-blocked monomial recurrence is
+    ``prev[parent_idx] * zeta[dim_idx]``; as full-width ops that is
+    (Spar_d @ prev) * (Sdim_d @ zeta) with one-hot (rows_d, rows_prev) /
+    (rows_d, nz) selectors -- two small MXU GEMMs + one vreg multiply
+    per block, replacing rows_d SERIAL sub-vreg (1, T) multiplies and
+    the (n_mono, T) stack (the stack's cross-sublane relayout was the
+    dominant prologue cost: kernel_fixed_anatomy, B=65536).
+    """
+    import numpy as np
+    out = []
+    prev_rows = nz
+    for parent_idx, dim_idx in tables:
+        r = len(parent_idx)
+        Spar = np.zeros((r, prev_rows), np.float32)
+        Sdim = np.zeros((r, nz), np.float32)
+        for i, (pi, di) in enumerate(zip(parent_idx, dim_idx)):
+            Spar[i, int(pi)] = 1.0
+            Sdim[i, int(di)] = 1.0
+        out.append((Spar, Sdim))
+        prev_rows = r
+    return out
+
+
 def _bilin_lift_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p,
                        m, nz, tables,
                        zt_ref, up_ref, x0_ref, sqYr_ref, rdiag_ref,
-                       Gz_ref, Gm_ref, Gb_ref, Hz_ref, Hm_ref, Hb_ref,
-                       Pz_ref, Pm_ref, Pb_ref, cFr_ref, F0r_ref,
+                       Gzh_ref, Gzl_ref, Gb_ref, Hzh_ref, Hzl_ref, Hb_ref,
+                       Pzh_ref, Pzl_ref, Pb_ref, cFr_ref, F0r_ref,
                        A_ref, At_ref, *rest):
     """Fused bilinear-MPC tile with the POLY LIFT in the prologue.
 
     One stage earlier than ``_bilin_kernel``: the lane ships its raw
     measurement window zeta (nz, T) instead of the lifted state z (NL, T).
     The degree-blocked monomial recurrence (``poly_parent_tables``: each
-    block-d monomial = parent block-(d-1) row x one zeta row -- all static
-    vector ops) builds the 77 poly features in VMEM, and the PCA econ
-    projection + constant column of z = [zeta; pcs^T g; 1] are FOLDED
-    host-side into the assembly generators, split per z-section:
+    block-d monomial = parent block-(d-1) row x one zeta row) runs as
+    one-hot selection GEMMs per degree block (``_lift_onehot_tables``),
+    and the PCA econ projection + constant column of
+    z = [zeta; pcs^T g; 1] are FOLDED host-side into the assembly
+    generators, split per z-section AND per degree block (so no
+    sublane-misaligned monomial concat ever forms):
 
-        W  = unflatten(Gz @ zeta + Gm @ monos + Gb)        (p*n rows)
-        CB0 = Hz @ zeta + Hm @ monos + Hb                  (m*p rows)
-        v  = Pz @ zeta + Pm @ monos + Pb - sqYr + CB0 u    (p rows)
+        W  = unflatten(Gz @ zeta + sum_d Gm_d @ mono_d + Gb)   (p*n rows)
+        CB0 = Hz @ zeta + sum_d Hm_d @ mono_d + Hb             (m*p rows)
+        v  = Pz @ zeta + sum_d Pm_d @ mono_d + Pb - sqYr + CB0 u
 
     then the factored Gram + Mehrotra loop run as in ``_bilin_kernel``.
     Removes the XLA lift (its monomial/PCA intermediates were ~6% of the
     bilinear step at B=65536) and shrinks the per-lane kernel input
     NL -> nz.
+
+    ``rest`` layout: [Gm_d(hi,lo), Hm_d(hi,lo), Pm_d(hi,lo), Spar_d,
+    Sdim_d] * nblk, then the structure operands / optional lam0 / outputs
+    as in ``_ipm_kernel``.  The z-section generators Gz/Hz/Pz arrive as
+    bf16 hi/lo pairs too (``_split_bf16`` / ``_dot3``).
     """
     T = tile
     reg = jnp.float32(1e-7)
+    nblk = len(tables)
+    lift_ops = rest[:8 * nblk]
+    rest = rest[8 * nblk:]
 
     rowi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     coli = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -647,22 +746,22 @@ def _bilin_lift_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p,
     zt = zt_ref[...]                                   # (nz, T)
     up = up_ref[...]                                   # (m, T)
 
-    # ---- in-VMEM degree-blocked poly lift -------------------------------
-    zrows = [zt[i] for i in range(nz)]
-    feats = []
-    prev = zrows
-    for parent_idx, dim_idx in tables:
-        new = [prev[int(pi)] * zrows[int(di)]
-               for pi, di in zip(parent_idx, dim_idx)]
-        feats.extend(new)
-        prev = new
-    monos = jnp.stack(feats, axis=0)                   # (77, T)
-
-    # ---- assembly against the z-section-folded generators ---------------
-    Wf = _dot(Gz_ref[...], zt) + _dot(Gm_ref[...], monos) + Gb_ref[...]
-    CB0 = _dot(Hz_ref[...], zt) + _dot(Hm_ref[...], monos) + Hb_ref[...]
-    v = (_dot(Pz_ref[...], zt) + _dot(Pm_ref[...], monos) + Pb_ref[...]
-         - sqYr_ref[...])
+    # ---- in-VMEM degree-blocked poly lift + assembly (3-pass bf16) ------
+    zh, zl = _split_bf16_val(zt)
+    Wf = _dot3(Gzh_ref[...], Gzl_ref[...], zh, zl) + Gb_ref[...]
+    CB0 = _dot3(Hzh_ref[...], Hzl_ref[...], zh, zl) + Hb_ref[...]
+    v = _dot3(Pzh_ref[...], Pzl_ref[...], zh, zl) + Pb_ref[...] \
+        - sqYr_ref[...]
+    prev = zt
+    for d in range(nblk):
+        (Gmh, Gml, Hmh, Hml, Pmh, Pml, Spar_d,
+         Sdim_d) = lift_ops[8 * d:8 * d + 8]
+        mono = _dot(Spar_d[...], prev) * _dot(Sdim_d[...], zt)
+        mh, ml = _split_bf16_val(mono)
+        Wf = Wf + _dot3(Gmh[...], Gml[...], mh, ml)
+        CB0 = CB0 + _dot3(Hmh[...], Hml[...], mh, ml)
+        v = v + _dot3(Pmh[...], Pml[...], mh, ml)
+        prev = mono
     for j in range(m):
         v = v + CB0[j * p:(j + 1) * p, :] * up[j][None, :]
     b = jnp.broadcast_to(cFr_ref[...], (mc, T))
@@ -679,7 +778,7 @@ def _bilin_lift_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p,
         P = P + 2.0 * (Wr[:, None, :] * Wr[None, :, :])
         qv = qv + Wr * v[r][None, :]
     qv = 2.0 * qv
-    obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(0, 1)), 1e-8)   # (T,)
+    obj = _diag_obj_scale(P, n)                        # (T,)
     iobj = 1.0 / obj
     obj_ref[...] = obj[None, :]
     Pr = P * iobj[None, None, :] + reg * eye[..., None]
@@ -783,18 +882,41 @@ def solve_qp_bilinear_lifted_batched(zeta, u_prev, sqYr, Gz, Gm, Gb, Hz, Hm,
                                    memory_space=pltpu.VMEM)
     shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
-    n_mono = Gm.shape[1]
+    # per-degree-block generator splits + one-hot lift selectors (see
+    # _bilin_lift_kernel / _lift_onehot_tables): host-side column slices
+    # of Gm/Hm/Pm in monomial-block order (so the kernel never forms the
+    # sublane-misaligned (n_mono, T) concat), each as a bf16 hi/lo pair
+    # for the 3-pass assembly GEMMs (_dot3)
+    onehot = _lift_onehot_tables(tables, nz)
+    Gm32 = jnp.asarray(Gm, jnp.float32)
+    Hm32 = jnp.asarray(Hm, jnp.float32)
+    Pm32 = jnp.asarray(Pm, jnp.float32)
+    lift_args, lift_specs = [], []
+    off = 0
+    for (Spar, Sdim) in onehot:
+        r = Spar.shape[0]
+        for Mat, rows in ((Gm32, p * n), (Hm32, m * p), (Pm32, p)):
+            hi, lo = _split_bf16(Mat[:, off:off + r])
+            lift_args += [hi, lo]
+            lift_specs += [shared(rows, r), shared(rows, r)]
+        lift_args += [jnp.asarray(Spar), jnp.asarray(Sdim)]
+        lift_specs += [shared(r, Spar.shape[1]), shared(r, nz)]
+        off += r
+    Gzh, Gzl = _split_bf16(Gz)
+    Hzh, Hzl = _split_bf16(Hz)
+    Pzh, Pzl = _split_bf16(Pz)
     xt, st, lamt, objt = pl.pallas_call(
         kern,
         grid=(Bp // tile,),
         in_specs=[
             lane2(nz), lane2(m), lane2(n),
             lane2(p) if per_ref else shared(p, 1), shared(1, n),
-            shared(p * n, nz), shared(p * n, n_mono), shared(p * n, 1),
-            shared(m * p, nz), shared(m * p, n_mono), shared(m * p, 1),
-            shared(p, nz), shared(p, n_mono), shared(p, 1),
+            shared(p * n, nz), shared(p * n, nz), shared(p * n, 1),
+            shared(m * p, nz), shared(m * p, nz), shared(m * p, 1),
+            shared(p, nz), shared(p, nz), shared(p, 1),
             shared(mc, 1), shared(mc, m),
             shared(mc, n), shared(n, mc),
+            *lift_specs,
             *[shared(r, c) for r, c in struct_specs],
             *([lane2(mc)] if warm_dual else []),
         ],
@@ -807,13 +929,10 @@ def solve_qp_bilinear_lifted_batched(zeta, u_prev, sqYr, Gz, Gm, Gb, Hz, Hm,
     )(zeta.T, u_prev.T, x0.T,
       sqYr.T if per_ref else sqYr[:, None],
       jnp.asarray(r_diag, jnp.float32)[None],
-      jnp.asarray(Gz, jnp.float32), jnp.asarray(Gm, jnp.float32),
-      jnp.asarray(Gb, jnp.float32).reshape(-1, 1),
-      jnp.asarray(Hz, jnp.float32), jnp.asarray(Hm, jnp.float32),
-      jnp.asarray(Hb, jnp.float32).reshape(-1, 1),
-      jnp.asarray(Pz, jnp.float32), jnp.asarray(Pm, jnp.float32),
-      jnp.asarray(Pb, jnp.float32).reshape(-1, 1),
-      cFr[:, None], F0r, A_eq, At, *structured,
+      Gzh, Gzl, jnp.asarray(Gb, jnp.float32).reshape(-1, 1),
+      Hzh, Hzl, jnp.asarray(Hb, jnp.float32).reshape(-1, 1),
+      Pzh, Pzl, jnp.asarray(Pb, jnp.float32).reshape(-1, 1),
+      cFr[:, None], F0r, A_eq, At, *lift_args, *structured,
       *([lam0_row.T] if warm_dual else []))
 
     x = xt.T[:B]
@@ -835,7 +954,8 @@ def solve_qp_bilinear_lifted_batched(zeta, u_prev, sqYr, Gz, Gm, Gb, Hz, Hm,
 
 def _bilin_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p, m,
                   z_ref, up_ref, x0_ref, sqYr_ref, rdiag_ref,
-                  PGW_ref, PG0_ref, PAsq_ref, cFr_ref, F0r_ref,
+                  PGWh_ref, PGWl_ref, PG0h_ref, PG0l_ref, PAsqh_ref,
+                  PAsql_ref, cFr_ref, F0r_ref,
                   A_ref, At_ref, *rest):
     """Fused bilinear-MPC tile: QP ASSEMBLY + the full interior point.
 
@@ -870,10 +990,12 @@ def _bilin_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p, m,
     z = z_ref[...]                                     # (NL, T)
     up = up_ref[...]                                   # (m, T)
 
-    # ---- in-VMEM assembly -------------------------------------------------
-    Wf = _dot(PGW_ref[...], z)                         # (p*n, T)
-    CB0 = _dot(PG0_ref[...], z)                        # (m*p, T)
-    v = _dot(PAsq_ref[...], z) - sqYr_ref[...]         # (p, T) - (p, 1)
+    # ---- in-VMEM assembly (3-pass bf16: see _dot3) ------------------------
+    zh, zl = _split_bf16_val(z)
+    Wf = _dot3(PGWh_ref[...], PGWl_ref[...], zh, zl)   # (p*n, T)
+    CB0 = _dot3(PG0h_ref[...], PG0l_ref[...], zh, zl)  # (m*p, T)
+    v = _dot3(PAsqh_ref[...], PAsql_ref[...], zh, zl) \
+        - sqYr_ref[...]                                # (p, T) - (p, 1)
     for j in range(m):
         v = v + CB0[j * p:(j + 1) * p, :] * up[j][None, :]
     b = jnp.broadcast_to(cFr_ref[...], (mc, T))
@@ -890,7 +1012,7 @@ def _bilin_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p, m,
         P = P + 2.0 * (Wr[:, None, :] * Wr[None, :, :])
         qv = qv + Wr * v[r][None, :]
     qv = 2.0 * qv
-    obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(0, 1)), 1e-8)   # (T,)
+    obj = _diag_obj_scale(P, n)                        # (T,)
     iobj = 1.0 / obj
     obj_ref[...] = obj[None, :]
     Pr = P * iobj[None, None, :] + reg * eye[..., None]
@@ -1016,7 +1138,7 @@ def _nmpc_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, has_q0,
     qv = 2.0 * qv
     if has_q0:
         qv = qv + rest[1 if band is None else 2][...]
-    obj = jnp.maximum(jnp.max(jnp.abs(P), axis=(0, 1)), 1e-8)   # (T,)
+    obj = _diag_obj_scale(P, n)                        # (T,)
     iobj = 1.0 / obj
     obj_ref[...] = obj[None, :]
     Pr = P * iobj[None, None, :] + reg * eye[..., None]
@@ -1288,7 +1410,9 @@ def solve_qp_bilinear_batched(z, u_prev, sqYr, PGW, PG0, PAsq, r_diag,
         in_specs=[
             lane2(NL), lane2(m), lane2(n),
             lane2(p) if per_ref else shared(p, 1), shared(1, n),
-            shared(p * n, NL), shared(m * p, NL), shared(p, NL),
+            shared(p * n, NL), shared(p * n, NL),
+            shared(m * p, NL), shared(m * p, NL),
+            shared(p, NL), shared(p, NL),
             shared(mc, 1), shared(mc, m),
             shared(mc, n), shared(n, mc),
             *[shared(r, c) for r, c in struct_specs],
@@ -1303,8 +1427,8 @@ def solve_qp_bilinear_batched(z, u_prev, sqYr, PGW, PG0, PAsq, r_diag,
     )(z.T, u_prev.T, x0.T,
       sqYr.T if per_ref else sqYr[:, None], jnp.asarray(r_diag,
                                                         jnp.float32)[None],
-      jnp.asarray(PGW, jnp.float32), jnp.asarray(PG0, jnp.float32),
-      jnp.asarray(PAsq, jnp.float32), cFr[:, None], F0r,
+      *_split_bf16(PGW), *_split_bf16(PG0), *_split_bf16(PAsq),
+      cFr[:, None], F0r,
       A_eq, At, *structured,
       *([lam0_row.T] if warm_dual else []))
 
