@@ -394,6 +394,83 @@ class Ksim:
 
         return jax.jit(jax.vmap(one))
 
+    def fused_step_eligible(self) -> bool:
+        """Whether the single-launch step-fused fast path applies (see
+        ``ops.pallas.step_fused``): the shipping bilinear RTI shape."""
+        from koopman_realizations_tpu.control.kmpc import BilinearKmpc
+        mpc = self.mpc
+        plant = self.plant
+        return (isinstance(mpc, BilinearKmpc)
+                and getattr(mpc, "wants_zeta", False)
+                and mpc._Tb is not None
+                and mpc._lift_gens is not None
+                and self._dual_warm
+                and mpc._dual_shift is None
+                and self.observer is None
+                and self.nd == 0
+                and self.meta.nw == 0
+                and hasattr(plant, "cfg")
+                and getattr(plant.cfg, "integrator", None) == "sdirk2"
+                and getattr(plant.cfg, "jac_mode", None) in ("step",
+                                                             "substep")
+                and getattr(plant.cfg, "output_type", None) in ("markers",
+                                                                "angles")
+                and hasattr(plant, "_G"))
+
+    def fused_runner(self, ref, steps: Optional[int] = None,
+                     record=("Yp", "alive"), tile: int = None):
+        """Single-launch-per-step closed loop (``ops.pallas.step_fused``).
+
+        Semantics of ``batched_runner(record=("Yp", "alive"))`` for the
+        shipping bilinear RTI configuration, but the QP, the SDIRK2 plant
+        step, the output kinematics, the freeze masks, and the
+        receding-horizon warm-start advance all run in ONE Pallas launch
+        with lanes-minor carries across the scan -- no per-step
+        (B, n) <-> (n, B) transposes, no XLA glue between phases.
+        Returns fn(x0_batch, w_batch) like ``batched_runner``; lanes pad
+        to the kernel tile internally.  Parity vs the general runner is
+        pinned in tests/test_step_fused.py.
+        """
+        if not self.fused_step_eligible():
+            raise ValueError("fused_runner: configuration not eligible "
+                             "(see fused_step_eligible); use "
+                             "batched_runner")
+        if not set(record) <= {"Yp", "alive"}:
+            raise ValueError(f"fused_runner records only Yp/alive, got "
+                             f"{record}")
+        from koopman_realizations_tpu.ops.pallas.step_fused import (
+            build_step_fused,
+        )
+        mpc = self.mpc
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        step_fn, init_carry, _ = build_step_fused(
+            mpc, self.plant, self.scaler, tile=tile, interpret=interpret)
+        K = ref.shape[0] if steps is None else steps
+        ref_padded = jnp.asarray(self.prep_ref(ref), jnp.float32)
+        sq = jnp.sqrt(jnp.asarray(mpc.Qd, jnp.float32))
+        Np, nproj = mpc.Np, mpc.nproj
+
+        def runner(X0, W):
+            B = X0.shape[0]
+            carry0 = init_carry(jnp.asarray(X0, jnp.float32),
+                                jnp.asarray(W, jnp.float32))
+            ks = jnp.arange(1, K)
+
+            def body(carry, k):
+                refhor = jax.lax.dynamic_slice(ref_padded, (k - 1, 0),
+                                               (Np + 1, nproj))
+                return step_fn(carry, sq * refhor.reshape(-1))
+
+            _, (yp, alive) = jax.lax.scan(body, carry0, ks)
+            out = {}
+            if "Yp" in record:
+                out["Yp"] = jnp.transpose(yp[:, :, :B], (2, 0, 1))
+            if "alive" in record:
+                out["alive"] = alive[:, :B].T
+            return out
+
+        return jax.jit(runner)
+
     def run_multi_ref(self, refs, X0, load=None,
                       steps: Optional[int] = None) -> dict:
         """Batch with a DIFFERENT reference trajectory per lane.

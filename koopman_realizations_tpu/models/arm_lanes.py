@@ -199,20 +199,38 @@ def make_rhs_tuple(cfg, G, bvec, us, w1, w2):
 def sdirk2_soa(cfg, G, bvec, X, U, W, Ts, substeps, newton_iters, jac_mode):
     """Batched SDIRK2 step over one control period; X (B, nx) -> (B, nx).
 
-    Mirrors ``ops.integrators.sdirk2`` exactly (gamma = 1 - 1/sqrt(2),
-    modified Newton with a normal-equation factorization of the iteration
-    matrix, jac_mode 'step' = one factor per Ts / 'substep' = one per
-    substep) but in struct-of-arrays layout.
+    Thin layout adapter over ``sdirk2_rows`` (the tuple-level integrator
+    shared with the step-fused Pallas kernel, ``ops.pallas.arm_step``).
+    """
+    n = 2 * cfg.Nlinks
+    xs0 = tuple(X[:, i] for i in range(n))
+    us = [U[:, j] for j in range(cfg.Nmods)]
+    xs = sdirk2_rows(cfg, G, bvec, xs0, us, W[:, 0], W[:, 1], Ts, substeps,
+                     newton_iters, jac_mode)
+    return jnp.stack(xs, axis=1)
+
+
+def sdirk2_rows(cfg, G, bvec, xs0, us, w1, w2, Ts, substeps, newton_iters,
+                jac_mode, unroll: bool = False):
+    """SDIRK2 over one control period on TUPLES of same-shape arrays.
+
+    Layout-agnostic core: components may be (B,) struct-of-arrays columns
+    (the XLA ``sdirk2_soa`` path) or (T,) lanes-minor rows inside a Pallas
+    kernel (``ops.pallas.arm_step`` -- pass ``unroll=True`` there: python
+    loops instead of ``lax.scan`` keep Mosaic's lowering simple).  Mirrors
+    ``ops.integrators.sdirk2`` exactly (gamma = 1 - 1/sqrt(2), modified
+    Newton with a normal-equation factorization of the iteration matrix,
+    jac_mode 'step' = one factor per Ts / 'substep' = one per substep).
     """
     N = cfg.Nlinks
     n = 2 * N
-    gamma = 1.0 - 1.0 / jnp.sqrt(2.0)
+    # gamma pinned to the component dtype: a weak/64-bit scalar would
+    # promote every stage op (and break the f32-only Pallas stores of the
+    # step-fused kernel under x64 test configs)
+    gamma = 1.0 - 1.0 / jnp.sqrt(jnp.asarray(2.0, xs0[0].dtype))
     dt = Ts / substeps
 
-    xs0 = tuple(X[:, i] for i in range(n))
-    us = [U[:, j] for j in range(cfg.Nmods)]
-    w1, w2 = W[:, 0], W[:, 1]
-    f = make_rhs_tuple(cfg, G, bvec, us, w1, w2)
+    f = make_rhs_tuple(cfg, G, bvec, list(us), w1, w2)
 
     zeros = jnp.zeros_like(xs0[0])
     ones = jnp.ones_like(xs0[0])
@@ -257,7 +275,13 @@ def sdirk2_soa(cfg, G, bvec, X, U, W, Ts, substeps, newton_iters, jac_mode):
                 delta = solve_normal(M, L, res)
                 return tuple(k[i] - delta[i] for i in range(n)), None
 
-            k, _ = jax.lax.scan(newton, k_init, None, length=newton_iters)
+            if unroll:
+                k = k_init
+                for _ in range(newton_iters):
+                    k, _ = newton(k, None)
+            else:
+                k, _ = jax.lax.scan(newton, k_init, None,
+                                    length=newton_iters)
             return k
 
         k1 = stage(xs, f(*xs))
@@ -277,5 +301,10 @@ def sdirk2_soa(cfg, G, bvec, X, U, W, Ts, substeps, newton_iters, jac_mode):
             M, L = factor(xs)
             return substep(xs, M, L), None
 
-    xs, _ = jax.lax.scan(body, xs0, None, length=substeps)
-    return jnp.stack(xs, axis=1)
+    if unroll:
+        xs = xs0
+        for _ in range(substeps):
+            xs, _ = body(xs, None)
+    else:
+        xs, _ = jax.lax.scan(body, xs0, None, length=substeps)
+    return xs

@@ -700,6 +700,51 @@ def _lift_onehot_tables(tables, nz):
     return out
 
 
+def _lift_assembly_core(tables, p, m, mc, T, zt, up, sqYr, gens, lift_ops,
+                        cFr_ref, F0r_ref):
+    """In-VMEM degree-blocked poly lift + factored QP assembly (3-pass
+    bf16 GEMMs, ``_dot3``).  Shared by ``_bilin_lift_kernel`` and the
+    step-fused kernel (``ops.pallas.step_fused``).  ``gens`` = the nine
+    z-section generator refs (Gz/Hz/Pz hi+lo, Gb/Hb/Pb); ``lift_ops`` =
+    [Gm_d hi/lo, Hm_d hi/lo, Pm_d hi/lo, Spar_d, Sdim_d] per degree
+    block.  Returns (Wf (p*n, T), v (p, T), b (mc, T))."""
+    nblk = len(tables)
+    Gzh, Gzl, Gb, Hzh, Hzl, Hb, Pzh, Pzl, Pb = gens
+    zh, zl = _split_bf16_val(zt)
+    Wf = _dot3(Gzh[...], Gzl[...], zh, zl) + Gb[...]
+    CB0 = _dot3(Hzh[...], Hzl[...], zh, zl) + Hb[...]
+    v = _dot3(Pzh[...], Pzl[...], zh, zl) + Pb[...] - sqYr
+    prev = zt
+    for d in range(nblk):
+        (Gmh, Gml, Hmh, Hml, Pmh, Pml, Spar_d,
+         Sdim_d) = lift_ops[8 * d:8 * d + 8]
+        mono = _dot(Spar_d[...], prev) * _dot(Sdim_d[...], zt)
+        mh, ml = _split_bf16_val(mono)
+        Wf = Wf + _dot3(Gmh[...], Gml[...], mh, ml)
+        CB0 = CB0 + _dot3(Hmh[...], Hml[...], mh, ml)
+        v = v + _dot3(Pmh[...], Pml[...], mh, ml)
+        prev = mono
+    for j in range(m):
+        v = v + CB0[j * p:(j + 1) * p, :] * up[j][None, :]
+    b = jnp.broadcast_to(cFr_ref[...], (mc, T))
+    F0r = F0r_ref[...]                                 # (mc, m)
+    for j in range(m):
+        b = b - F0r[:, j][:, None] * up[j][None, :]
+    return Wf, v, b
+
+
+def _factored_gram(n, T, eye, rdiag_obj, Wf, v, p):
+    """Factored Gram P = 2 (W^T W + diag(r)) and gradient qv = 2 W^T v as
+    lanes-minor rank-1 accumulations (see ``_ipm_kernel`` factored)."""
+    P = (eye * (2.0 * rdiag_obj)[None, :])[..., None]
+    qv = jnp.zeros((n, T), jnp.float32)
+    for r in range(p):
+        Wr = Wf[r * n:(r + 1) * n, :]                  # (n, T)
+        P = P + 2.0 * (Wr[:, None, :] * Wr[None, :, :])
+        qv = qv + Wr * v[r][None, :]
+    return P, 2.0 * qv
+
+
 def _bilin_lift_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p,
                        m, nz, tables,
                        zt_ref, up_ref, x0_ref, sqYr_ref, rdiag_ref,
@@ -746,38 +791,12 @@ def _bilin_lift_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p,
     zt = zt_ref[...]                                   # (nz, T)
     up = up_ref[...]                                   # (m, T)
 
-    # ---- in-VMEM degree-blocked poly lift + assembly (3-pass bf16) ------
-    zh, zl = _split_bf16_val(zt)
-    Wf = _dot3(Gzh_ref[...], Gzl_ref[...], zh, zl) + Gb_ref[...]
-    CB0 = _dot3(Hzh_ref[...], Hzl_ref[...], zh, zl) + Hb_ref[...]
-    v = _dot3(Pzh_ref[...], Pzl_ref[...], zh, zl) + Pb_ref[...] \
-        - sqYr_ref[...]
-    prev = zt
-    for d in range(nblk):
-        (Gmh, Gml, Hmh, Hml, Pmh, Pml, Spar_d,
-         Sdim_d) = lift_ops[8 * d:8 * d + 8]
-        mono = _dot(Spar_d[...], prev) * _dot(Sdim_d[...], zt)
-        mh, ml = _split_bf16_val(mono)
-        Wf = Wf + _dot3(Gmh[...], Gml[...], mh, ml)
-        CB0 = CB0 + _dot3(Hmh[...], Hml[...], mh, ml)
-        v = v + _dot3(Pmh[...], Pml[...], mh, ml)
-        prev = mono
-    for j in range(m):
-        v = v + CB0[j * p:(j + 1) * p, :] * up[j][None, :]
-    b = jnp.broadcast_to(cFr_ref[...], (mc, T))
-    F0r = F0r_ref[...]                                 # (mc, m)
-    for j in range(m):
-        b = b - F0r[:, j][:, None] * up[j][None, :]
-
-    # ---- factored Gram + objective scale (as _bilin_kernel) -------------
-    rdiag_obj = rdiag_ref[0, :]                        # (n,) shared
-    P = (eye * (2.0 * rdiag_obj)[None, :])[..., None]
-    qv = jnp.zeros((n, T), jnp.float32)
-    for r in range(p):
-        Wr = Wf[r * n:(r + 1) * n, :]                  # (n, T)
-        P = P + 2.0 * (Wr[:, None, :] * Wr[None, :, :])
-        qv = qv + Wr * v[r][None, :]
-    qv = 2.0 * qv
+    gens = (Gzh_ref, Gzl_ref, Gb_ref, Hzh_ref, Hzl_ref, Hb_ref,
+            Pzh_ref, Pzl_ref, Pb_ref)
+    Wf, v, b = _lift_assembly_core(tables, p, m, mc, T, zt, up,
+                                   sqYr_ref[...], gens, lift_ops,
+                                   cFr_ref, F0r_ref)
+    P, qv = _factored_gram(n, T, eye, rdiag_ref[0, :], Wf, v, p)
     obj = _diag_obj_scale(P, n)                        # (T,)
     iobj = 1.0 / obj
     obj_ref[...] = obj[None, :]
