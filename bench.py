@@ -42,7 +42,12 @@ def main():
     # smaller per-lane kernel state keeps moving the peak up a batch size:
     # 16384 unblocked -> 32768 blocked -> 65536 fused; back-to-back A/B
     # 22.46M vs 21.17M at 32768, error/alive identical across 4k-64k).
-    batch = int(os.environ.get("BENCH_BATCH", "65536"))
+    # round 5: the STEP-FUSED runner (one Pallas launch per closed-loop
+    # step, ops/pallas/step_fused.py) moves the batch peak up again:
+    # 65536 24.2M / 131072 25.6M / 262144 25.9M (tile=1024) vs the
+    # unfused runner's 22.3M at 65536.  BENCH_FUSED=0 opts back into the
+    # general batched_runner.
+    batch = int(os.environ.get("BENCH_BATCH", "262144"))
     steps = int(os.environ.get("BENCH_STEPS", "301"))
 
     ds = load_data4sysid(DATAFILE)
@@ -114,8 +119,14 @@ def main():
     # recorded (the err metric reads nothing else), and R is not recorded
     # at all (it is lane-constant here and reproducible from the input
     # reference: R_k = ref row k-1 through the scale round trip)
-    runner = sim.batched_runner(ref["y"], steps=steps,
-                                record=("Yp", "alive"))
+    use_fused = os.environ.get("BENCH_FUSED", "1") != "0" \
+        and sim.fused_step_eligible()
+    if use_fused:
+        runner = sim.fused_runner(ref["y"], steps=steps,
+                                  record=("Yp", "alive"))
+    else:
+        runner = sim.batched_runner(ref["y"], steps=steps,
+                                    record=("Yp", "alive"))
     # warmup / compile
     out = runner(X0, W)
     jax.block_until_ready(out)
@@ -171,6 +182,7 @@ def main():
             "alive_fraction": alive_frac,
             "err_mean": round(err_mean, 5), "err_worst": round(err_worst, 5),
             "platform": jax.devices()[0].platform,
+            "fused_step": use_fused,
             # the reference-comparable single-solve latency on this setup is
             # the AMORTIZED per-lane step time of the fused batched scan
             # (one-lane dispatch is ~30 ms of axon tunnel latency, see

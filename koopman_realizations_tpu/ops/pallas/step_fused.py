@@ -260,7 +260,13 @@ def build_step_fused(mpc, arm, scaler, tile: int = None,
     p = (mpc.Np + 1) * mpc.nproj
     band = mpc._band
     if tile is None:
-        tile = factored_tile_for(n)
+        import os
+        env = os.environ.get("KMPC_STEP_TILE")
+        # measured round 5 (B=64-128k sweep): the fused step prefers 1024
+        # (24.95M) over the lifted kernel's 768 (23.62M); 1536+ fails to
+        # compile (VMEM).  Larger n falls back to the factored default.
+        tile = int(env) if env else (1024 if n <= 16
+                                     else factored_tile_for(n))
 
     row = np.maximum(np.max(np.abs(A), axis=1), 1e-10)
     A_eq = jnp.asarray(A / row[:, None])
