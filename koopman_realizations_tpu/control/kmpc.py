@@ -42,6 +42,7 @@ from koopman_realizations_tpu.ops.qp import (
     solve_qp_bilinear_lifted,
     solve_qp_factored,
     solve_qp_nmpc,
+    solve_qp_nmpc_stages,
 )
 
 
@@ -986,6 +987,48 @@ def _compose_nonlinear_F(model: NonlinearModel):
     return F_fn
 
 
+def _poly_jacobian_static(model: NonlinearModel):
+    """Static pieces of the analytic poly Jacobian (see
+    ``_compose_poly_jacobian``): (A1, G, blocks, tables, pos_x) with
+    J(x).flatten() = A1.flatten() + G @ g_low(x), g_low = [x; low-degree
+    monomial blocks], rows indexed (o, i) = o*nza + i.  ``pos_x[j]`` is
+    the g_low column of coordinate x_j (blocks[0]'s order need not be the
+    identity).  None when the dictionary is not a single poly family.
+    """
+    basis = model.basis
+    if basis is None or len(basis.families) != 1 \
+            or basis.families[0][0] != "poly":
+        return None
+    from koopman_realizations_tpu.ops.observables import poly_parent_tables
+    degree = basis.families[0][1]
+    nza = basis.nzeta_aug
+    A1, A2, _ = _composed_maps(model)
+    if degree == 1:
+        return None
+    nzo = A1.shape[0]
+    blocks, tables = poly_parent_tables(nza, degree)
+    pos, off = {}, 0
+    for d in range(1, degree):
+        for r, e in enumerate(blocks[d - 1]):
+            pos[tuple(int(v) for v in e)] = off + r
+        off += len(blocks[d - 1])
+    G = np.zeros((nzo * nza, off), np.float64)
+    fr = 0
+    for d in range(2, degree + 1):
+        for e in blocks[d - 1]:
+            et = tuple(int(v) for v in e)
+            for i in range(nza):
+                if et[i] == 0:
+                    continue
+                parent = et[:i] + (et[i] - 1,) + et[i + 1:]
+                G[i::nza, pos[parent]] += A2[:, fr] * et[i]
+            fr += 1
+    pos_x = np.asarray(
+        [pos[tuple(1 if k == j else 0 for k in range(nza))]
+         for j in range(nza)], np.int64)
+    return A1, G, blocks, tables, pos_x
+
+
 def _compose_poly_jacobian(model: NonlinearModel):
     """Analytic Jacobian of the composed F for ALL-POLY dictionaries.
 
@@ -1009,34 +1052,17 @@ def _compose_poly_jacobian(model: NonlinearModel):
     if basis is None or len(basis.families) != 1 \
             or basis.families[0][0] != "poly":
         return None
-    from koopman_realizations_tpu.ops.observables import poly_parent_tables
     degree = basis.families[0][1]
     nza = basis.nzeta_aug
-    A1, A2, _ = _composed_maps(model)
-    nzo = A1.shape[0]
     dt = np.asarray(model.W).dtype
-    A1j = jnp.asarray(A1.astype(dt))
     if degree == 1:                          # feats empty: J is constant
+        A1, _, _ = _composed_maps(model)
+        A1j = jnp.asarray(A1.astype(dt))
         return lambda zeta, u: A1j
 
-    blocks, tables = poly_parent_tables(nza, degree)
-    # low-monomial index map: [x ; deg-2 block ; ... ; deg-(d-1) block]
-    pos, off = {}, 0
-    for d in range(1, degree):
-        for r, e in enumerate(blocks[d - 1]):
-            pos[tuple(int(v) for v in e)] = off + r
-        off += len(blocks[d - 1])
-    G = np.zeros((nzo * nza, off), np.float64)
-    fr = 0                                   # feats row (degree >= 2 only)
-    for d in range(2, degree + 1):
-        for e in blocks[d - 1]:
-            et = tuple(int(v) for v in e)
-            for i in range(nza):
-                if et[i] == 0:
-                    continue
-                parent = et[:i] + (et[i] - 1,) + et[i + 1:]
-                G[i::nza, pos[parent]] += A2[:, fr] * et[i]
-            fr += 1
+    A1, G, blocks, tables, _ = _poly_jacobian_static(model)
+    nzo = A1.shape[0]
+    A1j = jnp.asarray(A1.astype(dt))
     Gj = jnp.asarray(G.astype(dt))
 
     def J_fn(zeta, u):
@@ -1092,6 +1118,34 @@ class NonlinearKmpc(_KmpcBase):
         else:
             raise TypeError("NonlinearKmpc needs a NonlinearModel or BilinearModel")
         self.nz = self.meta.nzeta
+        # stage-Jacobian-fused kernel generators (round 5, verdict #3):
+        # when the analytic poly Jacobian exists, the SQP can ship its
+        # linearization trajectory (Zl, Ul, Fv) to the kernel and the
+        # Jacobians/defects generate in the prologue -- the (B, Np, nz,
+        # nza) jz/ju HBM stacks (~47 MB/pass at B=32768) disappear
+        self._stage_ops = None
+        self._jlayout = None
+        self._roll_ops = None
+        self._flayout = None
+        if self.J_fn is not None and isinstance(model, NonlinearModel) \
+                and model.basis is not None:
+            st = _poly_jacobian_static(model)
+            if st is not None:
+                from koopman_realizations_tpu.ops.qp import (
+                    build_stage_jac_ops,
+                    build_stage_roll_ops,
+                )
+                A1s, Gs, _blocks, tabs, pos_x = st
+                degree = model.basis.families[0][1]
+                self._stage_ops, self._jlayout = build_stage_jac_ops(
+                    A1s, Gs, tabs, pos_x, self.nz,
+                    model.basis.nzeta_aug, degree)
+                # in-kernel ROLLOUT generators (the composed dynamics as
+                # one-hot-lift GEMMs): lets the stage-fused kernel also
+                # generate its linearization trajectory from the plan
+                A1f, A2f, a0f = _composed_maps(model)
+                self._roll_ops, self._flayout = build_stage_roll_ops(
+                    A1f, A2f, a0f, tabs, self.nz, model.basis.nzeta_aug)
         # whether downstream needs the FULL (nz-row) sensitivity stack (only
         # the infeasible-path 'linear' between-pass update does; see
         # _condense_inner's projected scan outputs)
@@ -1297,8 +1351,24 @@ class NonlinearKmpc(_KmpcBase):
 
     def _solve_from(self, zeta, u_prev, ref, Ul, Zl=None, Fv=None):
         Np, m, n = self.Np, self.m, self.n
+        fused0 = self.E.shape[0] == 0 and self.cfg.sqp_update != "linear"
+        # in-kernel ROLLOUT (roll_mode 'roll'/'hold'): the stage-fused
+        # kernel generates the linearization trajectory itself; the XLA
+        # rollout between passes (26% of the step at B=32768) disappears.
+        # best-of-passes / line search still need the XLA rollout for the
+        # merit and keep the shipping path.
+        roll_fused = (fused0 and self._stage_ops is not None
+                      and self._roll_ops is not None
+                      and max(1, int(self.cfg.sqp_jac_period)) == 1
+                      and not self.cfg.sqp_best_of_passes
+                      and self.cfg.sqp_linesearch == 0
+                      and os.environ.get("KMPC_NMPC_STAGES") != "0"
+                      and os.environ.get("KMPC_NMPC_ROLL") != "0")
+        mode0 = "ship"
         if Zl is None:
-            if self.cfg.sqp_init == "rollout":
+            if roll_fused:
+                mode0 = "roll" if self.cfg.sqp_init == "rollout" else "hold"
+            elif self.cfg.sqp_init == "rollout":
                 # linearize the first pass along the natural prediction
                 # (roll the held input through F) -- mid-transient the
                 # constant-state guess is a poor linearization point
@@ -1322,9 +1392,28 @@ class NonlinearKmpc(_KmpcBase):
         # 2048 -> 8192 while the kernel scales flat).  Needs the factored
         # (no state bounds) shape; the 'linear' between-pass update needs
         # the explicit Sz and keeps the XLA path.
-        fused = self.E.shape[0] == 0 and self.cfg.sqp_update != "linear"
+        fused = fused0
+        # stage-fused variant: Jacobians/defects generate IN-KERNEL from
+        # (Zl, Ul, Fv); chord passes (jac_period > 1) need the frozen
+        # jz/ju and keep the explicit path.  KMPC_NMPC_STAGES=0 opts out
+        # (A/B knob)
+        stages = fused and self._stage_ops is not None \
+            and jac_period == 1 \
+            and os.environ.get("KMPC_NMPC_STAGES") != "0"
+        roll_mode = "ship"
         for it in range(self.cfg.sqp_iters):
-            if fused:
+            if stages:
+                if roll_fused:
+                    roll_mode = mode0 if it == 0 else "roll"
+                elif Fv is None:
+                    # cold 'hold' init: Zl/Ul rows are all the current
+                    # point, so every stage's dynamics value is the same
+                    # single evaluation
+                    Fv = jnp.tile(self.F_fn(Zl[0], Ul[0])[None, :],
+                                  (Np, 1))
+                jz = ju = cvv = None
+                Sy = sy = None
+            elif fused:
                 if it % jac_period == 0:
                     jz, ju, cvv = self._stage_lin(Zl, Ul, Fv=Fv)
                     frozen = (jz, ju)
@@ -1369,26 +1458,34 @@ class NonlinearKmpc(_KmpcBase):
                 sq = jnp.sqrt(self.Qd)
                 sqRef = sq * ref.reshape(-1)
                 if self._Tb is not None:
-                    sol = solve_qp_nmpc(
-                        jz, ju, cvv, zeta, u_prev, sq, sqRef, self.Cz,
-                        self._RdTj + rho * self._bsizes,
-                        self._Azj, self._cFzj, self._F0j, self._cols,
-                        iters=self.cfg.qp_iters,
-                        x0=self._Selj @ Ul[1:].reshape(-1),
-                        q0=None if rho == 0.0
+                    rdiag = self._RdTj + rho * self._bsizes
+                    Az_, cF_, F0_ = self._Azj, self._cFzj, self._F0j
+                    x0_ = self._Selj @ Ul[1:].reshape(-1)
+                    q0_ = None if rho == 0.0 \
                         else -2.0 * rho * (self._Tbj.T
-                                           @ Ul[1:].reshape(-1)),
+                                           @ Ul[1:].reshape(-1))
+                else:
+                    rdiag = self.Rd[m:] + rho
+                    Az_, cF_, F0_ = self.Fj[:, m:], self.cFj, \
+                        self.Fj[:, :m]
+                    x0_ = Ul[1:].reshape(-1)
+                    q0_ = None if rho == 0.0 \
+                        else -2.0 * rho * Ul.reshape(-1)[m:]
+                if stages:
+                    sol = solve_qp_nmpc_stages(
+                        Zl, Ul, Fv, zeta, u_prev, sq, sqRef, self.Cz,
+                        rdiag, Az_, cF_, F0_, self._cols,
+                        self._stage_ops, self._jlayout,
+                        iters=self.cfg.qp_iters, x0=x0_, q0=q0_,
                         lam0=lam_carry, backend=self.cfg.qp_backend,
-                        band_offset=self._band)
+                        band_offset=self._band, roll_mode=roll_mode,
+                        roll_ops=self._roll_ops or (),
+                        flayout=self._flayout or ())
                 else:
                     sol = solve_qp_nmpc(
                         jz, ju, cvv, zeta, u_prev, sq, sqRef, self.Cz,
-                        self.Rd[m:] + rho,
-                        self.Fj[:, m:], self.cFj, self.Fj[:, :m],
-                        self._cols, iters=self.cfg.qp_iters,
-                        x0=Ul[1:].reshape(-1),
-                        q0=None if rho == 0.0
-                        else -2.0 * rho * Ul.reshape(-1)[m:],
+                        rdiag, Az_, cF_, F0_, self._cols,
+                        iters=self.cfg.qp_iters, x0=x0_, q0=q0_,
                         lam0=lam_carry, backend=self.cfg.qp_backend,
                         band_offset=self._band)
             else:
@@ -1442,9 +1539,11 @@ class NonlinearKmpc(_KmpcBase):
                 U = U_qp
                 # one exact rollout serves both the merit bookkeeping and
                 # the next pass's linearization trajectory + defect values;
-                # skipped entirely on the last pass when nothing consumes it
+                # skipped entirely on the last pass when nothing consumes
+                # it -- and ALWAYS under roll_fused (the kernel rolls)
                 if self.cfg.sqp_best_of_passes or (
-                        not last and self.cfg.sqp_update != "linear"):
+                        not last and self.cfg.sqp_update != "linear"
+                        and not roll_fused):
                     Zroll = self._rollout_full(zeta, U)
             if self.cfg.sqp_best_of_passes:
                 # keep the best iterate by TRUE rollout merit across passes:
@@ -1476,6 +1575,10 @@ class NonlinearKmpc(_KmpcBase):
                     else:
                         Uvec = U.reshape(-1)
                     Zl, Fv = (sz + Sz @ Uvec)[:-1], None
+                elif roll_fused:
+                    # the kernel rolls the next pass's trajectory from
+                    # (zeta, U) itself -- nothing to carry in XLA
+                    Zl, Fv = None, None
                 else:
                     # feasible-path update: the rollout above, which also
                     # carries F(Zl, Ul) = Zroll[1:] into the condensation

@@ -98,6 +98,30 @@ def _dot1(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _split3_bf16_val(v):
+    """EXACT in-kernel 3-way bf16 split: v == hi + mid + lo bitwise
+    (8+8+8 mantissa bits cover f32's 24; each residual is computed in
+    f32 and the last fits bf16 exactly)."""
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot_sel(S_ref, v):
+    """EXACT one-hot selection matmul in 3 bf16 passes (vs HIGHEST's 6).
+
+    For a 0/1 selection matrix S (bf16-exact), S @ v distributes over the
+    exact 3-way split of v, and the per-row sums hi+mid+lo reassemble the
+    f32 value exactly (disjoint mantissa fields) -- so monomial-building
+    selection GEMMs cost half of a HIGHEST dot with bitwise-f32 results.
+    """
+    Sb = S_ref[...].astype(jnp.bfloat16)
+    hi, mid, lo = _split3_bf16_val(v)
+    return _dot1(Sb, hi) + _dot1(Sb, mid) + _dot1(Sb, lo)
+
+
 def _dot3(ah, al, bh, bl):
     """Manual 3-pass bf16 matmul (== XLA's HIGH algorithm) for the
     ASSEMBLY prologue GEMMs: ah bh + ah bl + al bh with f32 accumulation,
@@ -718,7 +742,7 @@ def _lift_assembly_core(tables, p, m, mc, T, zt, up, sqYr, gens, lift_ops,
     for d in range(nblk):
         (Gmh, Gml, Hmh, Hml, Pmh, Pml, Spar_d,
          Sdim_d) = lift_ops[8 * d:8 * d + 8]
-        mono = _dot(Spar_d[...], prev) * _dot(Sdim_d[...], zt)
+        mono = _dot_sel(Spar_d, prev) * _dot_sel(Sdim_d, zt)
         mh, ml = _split_bf16_val(mono)
         Wf = Wf + _dot3(Gmh[...], Gml[...], mh, ml)
         CB0 = CB0 + _dot3(Hmh[...], Hml[...], mh, ml)
@@ -1055,6 +1079,68 @@ def _bilin_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, p, m,
     lam_ref[...] = lam
 
 
+def _nmpc_condense_core(Np, nz, nstate, m, nproj, nU, cols, T, CzS, sqRef,
+                        up, S0, s0, get_Azcol, get_Au, get_cv):
+    """In-VMEM sensitivity condensation + W/v assembly shared by the NMPC
+    kernels.  S_0 = 0, s_0 = zeta (the affine part carries the current
+    state).  All coefficient reads are VECTOR slices (CzS[:, i],
+    Az[:, j, :]): Mosaic rejects 0-d scalar extractions from VMEM blocks.
+    S_0 ships as a REAL per-lane zero buffer instead of jnp.zeros:
+    chaining the recursion onto a constant-zero 3D value lets XLA
+    partially fold the early stages into a broadcast shape Mosaic cannot
+    lower (bisected `Check failed: limits[i] <= dim(i)` on v5e); loaded
+    data is opaque to the folder.
+
+    ``get_Azcol(k, j)`` -> (nz, T) column j of stage k's state Jacobian;
+    ``get_Au(k)`` -> (nz, m, T); ``get_cv(k)`` -> (nz, T) -- accessors so
+    the Jacobians may come from VMEM refs (``_nmpc_kernel``) or be
+    computed in the prologue (``_nmpc_stage_kernel``).
+    """
+    S = S0                                             # (nz, nU, T) zeros
+    s = s0                                             # (nz, T)
+    W_rows, v_rows = [], []
+    for k in range(Np + 1):
+        Ck = CzS[k * nproj:(k + 1) * nproj, :]         # (nproj, nstate)
+        # projected rows: P_k = sum_i Ck[:, i] (x) S[i]  (sq pre-folded).
+        # The coefficient columns are materialized to (nproj, T) FIRST:
+        # Mosaic rejects the (nproj, 1, 1) double-broadcast product
+        # (bisected on v5e: `Check failed: limits[i] <= dim(i)`), while
+        # (a, 1, T) x (1, b, T) rank-1 products are the supported pattern
+        # (same as the Cholesky downdates).
+        ck = jnp.broadcast_to(Ck[:, 0][:, None], (nproj, T))
+        Pk = ck[:, None, :] * S[0][None, :, :]
+        sk = ck * s[0][None, :]
+        for i in range(1, nstate):
+            ck = jnp.broadcast_to(Ck[:, i][:, None], (nproj, T))
+            Pk = Pk + ck[:, None, :] * S[i][None, :, :]
+            sk = sk + ck * s[i][None, :]
+        vk = sk - sqRef[k * nproj:(k + 1) * nproj, :]  # (nproj, T)
+        for j in range(m):
+            vk = vk + Pk[:, j, :] * up[j][None, :]     # u0-block fold
+        for r in range(nproj):
+            W_rows.append(Pk[r, m:, :])                # (n, T)
+            v_rows.append(vk[r])                       # (T,)
+        if k < Np:
+            Azc0 = get_Azcol(k, 0)
+            S1 = Azc0[:, None, :] * S[0][None, :, :]
+            s1 = Azc0 * s[0][None, :]
+            for j in range(1, nz):
+                Azcj = get_Azcol(k, j)
+                S1 = S1 + Azcj[:, None, :] * S[j][None, :, :]
+                s1 = s1 + Azcj * s[j][None, :]
+            c0 = cols[k]
+            parts = []                         # skip zero-width slices
+            if c0 > 0:
+                parts.append(S1[:, :c0, :])
+            parts.append(S1[:, c0:c0 + m, :] + get_Au(k))
+            if c0 + m < nU:
+                parts.append(S1[:, c0 + m:, :])
+            S = parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=1)
+            s = s1 + get_cv(k)
+    return W_rows, v_rows
+
+
 def _nmpc_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, has_q0,
                  Np, nz, nstate, m, nproj, cols,
                  jz_ref, ju_ref, cv_ref, S0_ref, z0_ref, up_ref, x0_ref,
@@ -1094,58 +1180,13 @@ def _nmpc_kernel(n, mc, iters, slack_floor, tile, band, warm_dual, has_q0,
     CzS = CzS_ref[...]                                 # (p, nstate) sq-folded
     sqRef = sqRef_ref[...]                             # (p, 1) or (p, T)
 
-    # ---- in-VMEM condensation ------------------------------------------
-    # S_0 = 0, s_0 = zeta (the affine part carries the current state).
-    # All coefficient reads are VECTOR slices (CzS[:, i], Az[:, j, :]):
-    # Mosaic rejects 0-d scalar extractions from VMEM blocks.  S_0 ships
-    # as a REAL per-lane zero buffer instead of jnp.zeros: chaining the
-    # recursion onto a constant-zero 3D value lets XLA partially fold the
-    # early stages into a broadcast shape Mosaic cannot lower (bisected
-    # `Check failed: limits[i] <= dim(i)` on v5e); loaded data is opaque
-    # to the folder.
-    S = S0_ref[...]                                    # (nz, nU, T) zeros
-    s = z0_ref[...]                                    # (nz, T)
-    W_rows, v_rows = [], []
-    for k in range(Np + 1):
-        Ck = CzS[k * nproj:(k + 1) * nproj, :]         # (nproj, nstate)
-        # projected rows: P_k = sum_i Ck[:, i] (x) S[i]  (sq pre-folded).
-        # The coefficient columns are materialized to (nproj, T) FIRST:
-        # Mosaic rejects the (nproj, 1, 1) double-broadcast product
-        # (bisected on v5e: `Check failed: limits[i] <= dim(i)`), while
-        # (a, 1, T) x (1, b, T) rank-1 products are the supported pattern
-        # (same as the Cholesky downdates).
-        ck = jnp.broadcast_to(Ck[:, 0][:, None], (nproj, T))
-        Pk = ck[:, None, :] * S[0][None, :, :]
-        sk = ck * s[0][None, :]
-        for i in range(1, nstate):
-            ck = jnp.broadcast_to(Ck[:, i][:, None], (nproj, T))
-            Pk = Pk + ck[:, None, :] * S[i][None, :, :]
-            sk = sk + ck * s[i][None, :]
-        vk = sk - sqRef[k * nproj:(k + 1) * nproj, :]  # (nproj, T)
-        for j in range(m):
-            vk = vk + Pk[:, j, :] * up[j][None, :]     # u0-block fold
-        for r in range(nproj):
-            W_rows.append(Pk[r, m:, :])                # (n, T)
-            v_rows.append(vk[r])                       # (T,)
-        if k < Np:
-            Az = jz[k * nz:(k + 1) * nz]               # (nz, nz, T)
-            Au = ju[k * nz:(k + 1) * nz]               # (nz, m, T)
-            cvk = cv[k * nz:(k + 1) * nz]              # (nz, T)
-            S1 = Az[:, 0, :][:, None, :] * S[0][None, :, :]
-            s1 = Az[:, 0, :] * s[0][None, :]
-            for j in range(1, nz):
-                S1 = S1 + Az[:, j, :][:, None, :] * S[j][None, :, :]
-                s1 = s1 + Az[:, j, :] * s[j][None, :]
-            c0 = cols[k]
-            parts = []                         # skip zero-width slices
-            if c0 > 0:
-                parts.append(S1[:, :c0, :])
-            parts.append(S1[:, c0:c0 + m, :] + Au)
-            if c0 + m < nU:
-                parts.append(S1[:, c0 + m:, :])
-            S = parts[0] if len(parts) == 1 else \
-                jnp.concatenate(parts, axis=1)
-            s = s1 + cvk
+    # ---- in-VMEM condensation (shared core; accessors slice jz/ju/cv) ---
+    W_rows, v_rows = _nmpc_condense_core(
+        Np, nz, nstate, m, nproj, nU, cols, T, CzS, sqRef, up,
+        S0_ref[...], z0_ref[...],
+        get_Azcol=lambda k, j: jz[k * nz:(k + 1) * nz][:, j, :],
+        get_Au=lambda k: ju[k * nz:(k + 1) * nz],
+        get_cv=lambda k: cv[k * nz:(k + 1) * nz])
 
     # ---- factored Gram + objective scale (as the factored kernel) -------
     rdiag_obj = rdiag_ref[0, :]                        # (n,) shared
@@ -1321,6 +1362,368 @@ def solve_qp_nmpc_batched(jz, ju, cv, zeta, u_prev, sq, sqRef, Cz, r_diag,
       CzS, sqRef.T if per_ref else sqRef[:, None],
       jnp.asarray(r_diag, jnp.float32)[None],
       cFr[:, None], F0r, A_eq, At, *structured,
+      *([q0.T] if has_q0 else []),
+      *([lam0_row.T] if warm_dual else []))
+
+    x = xt.T[:B]
+    s = st.T[:B]
+    lam = lamt.T[:B]
+    obj = objt[0, :B]
+
+    with jax.default_matmul_precision("highest"):
+        b_eq = cFr[None, :] - jnp.asarray(u_prev[:B], jnp.float32) @ F0r.T
+        gap = jnp.sum(s * lam, axis=1) / mc
+        r_p = jnp.max(jnp.maximum(x @ A_eq.T - b_eq, 0.0), axis=1)
+        finite = jnp.all(jnp.isfinite(x), axis=1)
+        ok = finite & (gap < gap_sane) \
+            & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b_eq), axis=1), 1.0))
+        x = jnp.where(finite[:, None], x, jnp.nan)
+        lam_orig = lam * obj[:, None] / row[None, :]
+    return x, lam_orig, ok, gap
+
+
+def _stage_jac_ops_count(jlayout):
+    """Operand count of the per-stage Jacobian generators: A1c + Gx hi/lo
+    pairs (z and u sections) + per block (selectors + Gm hi/lo)."""
+    return 5 + sum((6 if b == 0 else 5) for b in range(len(jlayout)))
+
+
+def _stage_roll_ops_count(flayout):
+    """Operand count of the in-kernel dynamics generators: A1z/A1u/a0 +
+    per full-lift block (selectors + A2 section)."""
+    return 3 + sum((5 if b == 0 else 4) for b in range(len(flayout)))
+
+
+def _eval_F_rows(nz, m, roll_ops, flayout, z, ul):
+    """In-VMEM F(z, u) via the composed-map generators: A1z z + A1u u +
+    sum_b A2_b mono_b + a0, monomial blocks as one-hot selection GEMMs.
+    Value-critical, so every GEMM runs at HIGHEST (the XLA rollout this
+    replaces ran under the loop-wide HIGHEST too)."""
+    A1z, A1u, a0 = roll_ops[0], roll_ops[1], roll_ops[2]
+    acc = _dot(A1z[...], z) + _dot(A1u[...], ul) + a0[...]
+    idx = 3
+    prev = None
+    for b in range(len(flayout)):
+        if b == 0:
+            Spz, Spu, Sdz, Sdu, A2b = roll_ops[idx:idx + 5]
+            idx += 5
+            par = _dot_sel(Spz, z) + _dot_sel(Spu, ul)
+        else:
+            Spar, Sdz, Sdu, A2b = roll_ops[idx:idx + 4]
+            idx += 4
+            par = _dot_sel(Spar, prev)
+        dim = _dot_sel(Sdz, z) + _dot_sel(Sdu, ul)
+        mono = par * dim
+        acc = acc + _dot(A2b[...], mono)
+        prev = mono
+    return acc
+
+
+def _nmpc_stage_kernel(n, mc, iters, slack_floor, tile, band, warm_dual,
+                       has_q0, Np, nz, nstate, m, nproj, cols, jlayout,
+                       roll_mode, flayout,
+                       Zl_ref, Ul_ref, Fv_ref, S0_ref, z0_ref, up_ref,
+                       x0_ref, CzS_ref, sqRef_ref, rdiag_ref,
+                       cFr_ref, F0r_ref, A_ref, At_ref, *rest):
+    """NMPC-pass tile with the STAGE JACOBIANS generated in the prologue.
+
+    One stage earlier than ``_nmpc_kernel``: the lane ships its SQP
+    linearization trajectory (Zl (Np*nz, T), Ul (Np*m, T)) and rollout
+    values Fv (Np*nz, T) instead of the materialized jz/ju/cv stacks (a
+    4x per-lane input cut, and it removes the (B, Np, nz, nza) Jacobian
+    HBM stacks that made B=32768 decline -- round-4 verdict #3).  Per
+    stage the analytic poly Jacobian J = A1 + unflatten(G @ g_low)
+    (``kmpc._compose_poly_jacobian`` math) forms in VMEM: g_low's
+    monomial blocks via one-hot selection GEMMs, G pre-reordered
+    host-side to COLUMN-major rows (J column j = contiguous rows
+    j*nz..(j+1)*nz, exactly the slices the condensation consumes) and
+    split per g_low section (x -> z|u columns; one Gm per block), all as
+    bf16 hi/lo 3-pass GEMMs (the XLA path ran at HIGH too).  Defects
+    cv_k = Fv_k - Jz_k Zl_k - Ju_k Ul_k form in VMEM; then the shared
+    condensation core + factored Gram + Mehrotra loop run unchanged.
+
+    ``rest``: jac generator operands (``_stage_jac_ops_count(jlayout)``),
+    dynamics generators when ``roll_mode`` != 'ship'
+    (``_stage_roll_ops_count(flayout)``), the banded-structure operands,
+    optional q0/lam0, then outputs.
+
+    ``roll_mode`` selects where the linearization trajectory comes from:
+    'ship' -- Zl/Ul/Fv arrive as per-lane inputs; 'roll' -- only the
+    PLAN Ul ships and the trajectory ROLLS in-VMEM through the composed
+    dynamics F (the SQP's between-pass rollout: its XLA poly lift was
+    26% of the NMPC step at B=32768); 'hold' -- the cold first pass
+    linearizes about the held current state (Zl_k = zeta, Fv_k =
+    F(zeta, u_prev); Ul unused, tile of u_prev).
+    """
+    T = tile
+    reg = jnp.float32(1e-7)
+    nU = m + n
+    njac = _stage_jac_ops_count(jlayout)
+    jac_ops = rest[:njac]
+    rest = rest[njac:]
+    if roll_mode != "ship":
+        nroll = _stage_roll_ops_count(flayout)
+        roll_ops = rest[:nroll]
+        rest = rest[nroll:]
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (rowi == coli).astype(jnp.float32)
+
+    x_ref, s_ref, lam_ref, obj_ref = rest[-4:]
+    up = up_ref[...]                                   # (m, T)
+    zeta0 = z0_ref[...]                                # (nz, T)
+    CzS = CzS_ref[...]
+    sqRef = sqRef_ref[...]
+
+    # ---- linearization trajectory: shipped, held, or rolled in-VMEM -----
+    if roll_mode == "ship":
+        Zl = Zl_ref[...]                               # (Np*nz, T)
+        Ul = Ul_ref[...]                               # (Np*m, T)
+        Fv = Fv_ref[...]                               # (Np*nz, T)
+        zl_rows = [Zl[k * nz:(k + 1) * nz, :] for k in range(Np)]
+        ul_rows = [Ul[k * m:(k + 1) * m, :] for k in range(Np)]
+        fv_rows = [Fv[k * nz:(k + 1) * nz, :] for k in range(Np)]
+    elif roll_mode == "hold":
+        F0v = _eval_F_rows(nz, m, roll_ops, flayout, zeta0, up)
+        zl_rows = [zeta0] * Np
+        ul_rows = [up] * Np
+        fv_rows = [F0v] * Np
+    else:                                              # 'roll'
+        Ul = Ul_ref[...]                               # (Np*m, T)
+        zl_rows, ul_rows, fv_rows = [], [], []
+        z = zeta0
+        for k in range(Np):
+            ul = Ul[k * m:(k + 1) * m, :]
+            Fk = _eval_F_rows(nz, m, roll_ops, flayout, z, ul)
+            zl_rows.append(z)
+            ul_rows.append(ul)
+            fv_rows.append(Fk)
+            z = Fk
+
+    A1c = jac_ops[0]                                   # (nza*nz, 1)
+    Gxzh, Gxzl, Gxuh, Gxul = jac_ops[1:5]
+    Jcols, cvs = [], []
+    for k in range(Np):
+        zl = zl_rows[k]                                # (nz, T)
+        ul = ul_rows[k]                                # (m, T)
+        zlh, zll = _split_bf16_val(zl)
+        ulh, ull = _split_bf16_val(ul)
+        Jc = (A1c[...]
+              + _dot3(Gxzh[...], Gxzl[...], zlh, zll)
+              + _dot3(Gxuh[...], Gxul[...], ulh, ull))
+        idx = 5
+        prev = None
+        for b in range(len(jlayout)):
+            if b == 0:
+                Spz, Spu, Sdz, Sdu, Gmh, Gml = jac_ops[idx:idx + 6]
+                idx += 6
+                par = _dot_sel(Spz, zl) + _dot_sel(Spu, ul)
+            else:
+                Spar, Sdz, Sdu, Gmh, Gml = jac_ops[idx:idx + 5]
+                idx += 5
+                par = _dot_sel(Spar, prev)
+            dim = _dot_sel(Sdz, zl) + _dot_sel(Sdu, ul)
+            mono = par * dim
+            mh, ml = _split_bf16_val(mono)
+            Jc = Jc + _dot3(Gmh[...], Gml[...], mh, ml)
+            prev = mono
+        Jcols.append(Jc)
+        cvk = fv_rows[k]
+        for j in range(nz):
+            cvk = cvk - Jc[j * nz:(j + 1) * nz, :] * zl[j][None, :]
+        for j in range(m):
+            cvk = cvk - Jc[(nz + j) * nz:(nz + j + 1) * nz, :] \
+                * ul[j][None, :]
+        cvs.append(cvk)
+
+    W_rows, v_rows = _nmpc_condense_core(
+        Np, nz, nstate, m, nproj, nU, cols, T, CzS, sqRef, up,
+        S0_ref[...], zeta0,
+        get_Azcol=lambda k, j: Jcols[k][j * nz:(j + 1) * nz, :],
+        get_Au=lambda k: jnp.concatenate(
+            [Jcols[k][(nz + j) * nz:(nz + j + 1) * nz, :][:, None, :]
+             for j in range(m)], axis=1),
+        get_cv=lambda k: cvs[k])
+
+    rdiag_obj = rdiag_ref[0, :]
+    P = (eye * (2.0 * rdiag_obj)[None, :])[..., None]
+    qv = jnp.zeros((n, T), jnp.float32)
+    for Wr, vr in zip(W_rows, v_rows):
+        P = P + 2.0 * (Wr[:, None, :] * Wr[None, :, :])
+        qv = qv + Wr * vr[None, :]
+    qv = 2.0 * qv
+    if has_q0:
+        qv = qv + rest[1 if band is None else 2][...]
+    obj = _diag_obj_scale(P, n)
+    iobj = 1.0 / obj
+    obj_ref[...] = obj[None, :]
+    Pr = P * iobj[None, None, :] + reg * eye[..., None]
+    q = qv * iobj[None, :]
+
+    b = jnp.broadcast_to(cFr_ref[...], (mc, T))
+    F0r = F0r_ref[...]
+    for j in range(m):
+        b = b - F0r[:, j][:, None] * up[j][None, :]
+    A = A_ref[...]
+    At = At_ref[...]
+    form_AtDA = _make_form_AtDA(band, n, T, rest, eye, rowi, coli)
+    x0 = x0_ref[...]
+    if warm_dual:
+        lam0 = jnp.sqrt(jnp.clip(rest[-5][...] * iobj[None, :], 1e-4, 1e4))
+    else:
+        lam0 = jnp.ones((mc, T), jnp.float32)
+    x, s_sl, lam = _mehrotra_loop(n, mc, iters, slack_floor, Pr, q, b, A,
+                                  At, form_AtDA, x0, lam0)
+    x_ref[...] = x
+    s_ref[...] = s_sl
+    lam_ref[...] = lam
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "interpret", "tol", "gap_sane",
+                                    "tile", "band", "Np", "nz", "nstate",
+                                    "nproj", "cols", "jlayout", "roll_mode",
+                                    "flayout"))
+def solve_qp_nmpc_stages_batched(Zl, Ul, Fv, zeta, u_prev, sq, sqRef, Cz,
+                                 r_diag, A, cF, F0, jac_ops, x0=None,
+                                 q0=None, lam0=None, roll_ops=(), *,
+                                 Np: int, nz: int,
+                                 nstate: int, nproj: int, cols: tuple,
+                                 jlayout: tuple, iters: int = 10,
+                                 roll_mode: str = "ship",
+                                 flayout: tuple = (),
+                                 interpret: bool = False, tol: float = 3e-3,
+                                 gap_sane: float = 5e-2, tile: int = None,
+                                 band: int = None):
+    """Stage-Jacobian-fused NMPC batched IPM (see ``_nmpc_stage_kernel``).
+
+    Per-lane: Zl (B, Np, nz) / Ul (B, Np, m) the SQP linearization
+    trajectory, Fv (B, Np, nz) the dynamics values along it, zeta/u_prev
+    and warm starts as in ``solve_qp_nmpc_batched``.  ``jac_ops``: the
+    host-prepared generator tuple from ``ops.qp.build_stage_jac_ops``;
+    ``jlayout``: static g_low monomial block row counts.
+
+    ``roll_mode`` 'roll'/'hold' (with ``roll_ops``/``flayout`` from
+    ``ops.qp.build_stage_roll_ops``) generates the trajectory IN-KERNEL
+    from the plan / held state instead -- Zl/Fv (and for 'hold' Ul) may
+    then be None (dummy rows ship in their place).
+    """
+    zeta = jnp.asarray(zeta, jnp.float32)
+    B = zeta.shape[0]
+    ship_Zl = roll_mode == "ship"
+    ship_Ul = roll_mode != "hold"
+    dummy = jnp.zeros((B, 1), jnp.float32)
+    Zl = jnp.asarray(Zl, jnp.float32) if ship_Zl else dummy
+    Fv = jnp.asarray(Fv, jnp.float32) if ship_Zl else dummy
+    Ul = jnp.asarray(Ul, jnp.float32) if ship_Ul else dummy
+    u_prev = jnp.asarray(u_prev, jnp.float32)
+    A = jnp.asarray(A, jnp.float32)
+    sqRef = jnp.asarray(sqRef, jnp.float32)
+    per_ref = sqRef.ndim == 2
+    n = A.shape[1]
+    mc = A.shape[0]
+    m = u_prev.shape[1]
+    p = (Np + 1) * nproj
+    nU_cols = n + m
+    if tile is None:
+        import os
+        env = os.environ.get("KMPC_NMPC_TILE")
+        # the stage-fused kernel's per-lane VMEM set is ~4x slimmer than
+        # the jz/ju-shipping kernel's (512-optimal); re-swept round 5
+        tile = int(env) if env else min(512, factored_tile_for(n))
+
+    row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)
+    A_eq = A / row[:, None]
+    cFr = jnp.asarray(cF, jnp.float32) / row
+    F0r = jnp.asarray(F0, jnp.float32) / row[:, None]
+    CzS = (jnp.asarray(sq, jnp.float32)[:, None]
+           * jnp.tile(jnp.asarray(Cz, jnp.float32), (Np + 1, 1)))
+
+    slack_floor = 1.0 if x0 is None else 1e-2
+    if x0 is None:
+        x0 = jnp.zeros((B, n), jnp.float32)
+    x0 = jnp.asarray(x0, jnp.float32)
+    has_q0 = q0 is not None
+    if has_q0:
+        q0 = jnp.asarray(q0, jnp.float32)
+    warm_dual = lam0 is not None
+    if warm_dual:
+        lam0_row = jnp.asarray(lam0, jnp.float32) * row[None, :]
+
+    At = A_eq.T
+    if band is None:
+        structured = (jnp.einsum("ci,cj->ijc", A_eq, A_eq)
+                      .reshape(n * n, mc),)
+        struct_specs = [(n * n, mc)]
+    else:
+        Wd = (A_eq * A_eq).T
+        Wo = (A_eq[:, :n - band] * A_eq[:, band:]).T if band > 0 \
+            else jnp.zeros((1, mc), jnp.float32)
+        structured = (Wd, Wo)
+        struct_specs = [(n, mc), (Wo.shape[0], mc)]
+
+    pad = (-B) % tile
+    if pad:
+        zpad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+        Zl, Ul, Fv, zeta, u_prev, x0 = map(
+            zpad, (Zl, Ul, Fv, zeta, u_prev, x0))
+        if per_ref:
+            sqRef = zpad(sqRef)
+        if has_q0:
+            q0 = zpad(q0)
+        if warm_dual:
+            lam0_row = jnp.concatenate(
+                [lam0_row, jnp.ones((pad, mc), jnp.float32)], 0)
+    Bp = zeta.shape[0]
+    S0 = jnp.zeros((nz, nU_cols, Bp), jnp.float32)
+
+    Zlt = Zl.reshape(Bp, -1).T
+    Ult = Ul.reshape(Bp, -1).T
+    Fvt = Fv.reshape(Bp, -1).T
+
+    kern = functools.partial(_nmpc_stage_kernel, n, mc, iters, slack_floor,
+                             tile, band, warm_dual, has_q0, Np, nz, nstate,
+                             m, nproj, tuple(cols), tuple(jlayout),
+                             roll_mode, tuple(flayout))
+    lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    lane3 = lambda r, c: pl.BlockSpec((r, c, tile), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM)
+    shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    jac_ops = tuple(jnp.asarray(a) for a in jac_ops)
+    jac_specs = [shared(*a.shape) for a in jac_ops]
+    roll_ops = tuple(jnp.asarray(a) for a in roll_ops) \
+        if roll_mode != "ship" else ()
+    roll_specs = [shared(*a.shape) for a in roll_ops]
+    xt, st, lamt, objt = pl.pallas_call(
+        kern,
+        grid=(Bp // tile,),
+        in_specs=[
+            lane2(Zlt.shape[0]), lane2(Ult.shape[0]), lane2(Fvt.shape[0]),
+            lane3(nz, nU_cols), lane2(nz), lane2(m), lane2(n),
+            shared(p, nstate),
+            lane2(p) if per_ref else shared(p, 1),
+            shared(1, n),
+            shared(mc, 1), shared(mc, m),
+            shared(mc, n), shared(n, mc),
+            *jac_specs, *roll_specs,
+            *[shared(r, c) for r, c in struct_specs],
+            *([lane2(n)] if has_q0 else []),
+            *([lane2(mc)] if warm_dual else []),
+        ],
+        out_specs=[lane2(n), lane2(mc), lane2(mc), lane2(1)],
+        out_shape=[jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Bp), jnp.float32)],
+        interpret=interpret,
+    )(Zlt, Ult, Fvt, S0, zeta.T, u_prev.T, x0.T,
+      CzS, sqRef.T if per_ref else sqRef[:, None],
+      jnp.asarray(r_diag, jnp.float32)[None],
+      cFr[:, None], F0r, A_eq, At, *jac_ops, *roll_ops, *structured,
       *([q0.T] if has_q0 else []),
       *([lam0_row.T] if warm_dual else []))
 

@@ -699,6 +699,368 @@ def _nmpc_routed_solver(cols, iters: int, warm: bool, has_q0: bool,
     return solve
 
 
+def build_stage_jac_ops(A1, G, tables, pos_x, nz: int, nza: int,
+                        degree: int):
+    """Host-side generator operands for the stage-Jacobian-fused NMPC
+    kernel (``ops.pallas.qp_ipm._nmpc_stage_kernel``).
+
+    From the analytic-Jacobian statics (``kmpc._poly_jacobian_static``):
+    reorders G's rows to COLUMN-major (J column j = contiguous rows
+    j*nz..(j+1)*nz -- the slices the in-kernel condensation consumes),
+    splits its columns per g_low section (x coordinates -> zeta|u column
+    groups via ``pos_x``; one block per low monomial degree), builds the
+    one-hot monomial selectors, and bf16-splits every GEMM operand for
+    the 3-pass in-kernel assembly.  Returns (jac_ops tuple, jlayout).
+    """
+    import numpy as np
+
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import _split_bf16
+    m = nza - nz
+    perm = np.empty(nza * nz, np.int64)
+    for i in range(nza):
+        for o in range(nz):
+            perm[i * nz + o] = o * nza + i
+    Gc = np.asarray(G, np.float64)[perm]               # (nza*nz, n_low)
+    A1c = np.asarray(A1, np.float64).T.reshape(-1, 1)  # [(i, o)] = A1[o, i]
+    xsec = Gc[:, np.asarray(pos_x)]                    # (nza*nz, nza)
+    ops = [jnp.asarray(A1c, jnp.float32)]
+    ops += list(_split_bf16(xsec[:, :nz]))
+    ops += list(_split_bf16(xsec[:, nz:]))
+    jlayout = []
+    off = nza
+    mono_tables = tables[: degree - 2]
+    prev_rows = nza
+    for b, (p_idx, d_idx) in enumerate(mono_tables):
+        r = len(p_idx)
+        Sdz = np.zeros((r, nz), np.float32)
+        Sdu = np.zeros((r, max(m, 1)), np.float32)
+        for row_i, di in enumerate(d_idx):
+            if int(di) < nz:
+                Sdz[row_i, int(di)] = 1.0
+            else:
+                Sdu[row_i, int(di) - nz] = 1.0
+        if b == 0:
+            Spz = np.zeros((r, nz), np.float32)
+            Spu = np.zeros((r, max(m, 1)), np.float32)
+            for row_i, pi in enumerate(p_idx):
+                if int(pi) < nz:
+                    Spz[row_i, int(pi)] = 1.0
+                else:
+                    Spu[row_i, int(pi) - nz] = 1.0
+            ops += [jnp.asarray(Spz), jnp.asarray(Spu)]
+        else:
+            Spar = np.zeros((r, prev_rows), np.float32)
+            for row_i, pi in enumerate(p_idx):
+                Spar[row_i, int(pi)] = 1.0
+            ops += [jnp.asarray(Spar)]
+        ops += [jnp.asarray(Sdz), jnp.asarray(Sdu)]
+        ops += list(_split_bf16(Gc[:, off:off + r]))
+        jlayout.append(r)
+        off += r
+        prev_rows = r
+    return tuple(ops), tuple(jlayout)
+
+
+def build_stage_roll_ops(A1, A2, a0, tables, nz: int, nza: int):
+    """Host-side composed-dynamics generators for the IN-KERNEL rollout
+    (``_eval_F_rows``): F(x) = A1 x + A2 feats(x) + a0 with x = [zeta; u],
+    feats the full degree-blocked monomials.  A1/A2 split per x-section /
+    per block; selectors one-hot.  Returns (roll_ops tuple, flayout)."""
+    import numpy as np
+    m = nza - nz
+    A1 = np.asarray(A1, np.float64)
+    A2 = np.asarray(A2, np.float64)
+    ops = [jnp.asarray(A1[:, :nz], jnp.float32),
+           jnp.asarray(A1[:, nz:], jnp.float32),
+           jnp.asarray(np.asarray(a0, np.float64).reshape(-1, 1),
+                       jnp.float32)]
+    flayout = []
+    off = 0
+    prev_rows = nza
+    for b, (p_idx, d_idx) in enumerate(tables):
+        r = len(p_idx)
+        Sdz = np.zeros((r, nz), np.float32)
+        Sdu = np.zeros((r, max(m, 1)), np.float32)
+        for row_i, di in enumerate(d_idx):
+            if int(di) < nz:
+                Sdz[row_i, int(di)] = 1.0
+            else:
+                Sdu[row_i, int(di) - nz] = 1.0
+        if b == 0:
+            Spz = np.zeros((r, nz), np.float32)
+            Spu = np.zeros((r, max(m, 1)), np.float32)
+            for row_i, pi in enumerate(p_idx):
+                if int(pi) < nz:
+                    Spz[row_i, int(pi)] = 1.0
+                else:
+                    Spu[row_i, int(pi) - nz] = 1.0
+            ops += [jnp.asarray(Spz), jnp.asarray(Spu)]
+        else:
+            Spar = np.zeros((r, prev_rows), np.float32)
+            for row_i, pi in enumerate(p_idx):
+                Spar[row_i, int(pi)] = 1.0
+            ops += [jnp.asarray(Spar)]
+        ops += [jnp.asarray(Sdz), jnp.asarray(Sdu),
+                jnp.asarray(A2[:, off:off + r], jnp.float32)]
+        flayout.append(r)
+        off += r
+        prev_rows = r
+    return tuple(ops), tuple(flayout)
+
+
+def _stage_roll_xla(zeta, Ul, roll_ops, flayout, nz, m, Np, mode):
+    """Single-lane XLA trajectory generation from the SAME dynamics
+    generators the kernel consumes (pure fallback / oracle).  Returns
+    (Zl (Np, nz), Ul (Np, m), Fv (Np, nz))."""
+    A1z, A1u, a0 = roll_ops[0], roll_ops[1], roll_ops[2][:, 0]
+
+    def F_eval(z, u):
+        acc = A1z @ z + A1u @ u + a0
+        idx = 3
+        prev = None
+        for b in range(len(flayout)):
+            if b == 0:
+                Spz, Spu, Sdz, Sdu, A2b = roll_ops[idx:idx + 5]
+                idx += 5
+                par = Spz @ z + Spu @ u
+            else:
+                Spar, Sdz, Sdu, A2b = roll_ops[idx:idx + 4]
+                idx += 4
+                par = Spar @ prev
+            mono = par * (Sdz @ z + Sdu @ u)
+            acc = acc + A2b @ mono
+            prev = mono
+        return acc
+
+    if mode == "hold":
+        F0v = F_eval(zeta, Ul[0])
+        return (jnp.tile(zeta[None], (Np, 1)), Ul,
+                jnp.tile(F0v[None], (Np, 1)))
+    zs, fs = [], []
+    z = zeta
+    for k in range(Np):
+        Fk = F_eval(z, Ul[k])
+        zs.append(z)
+        fs.append(Fk)
+        z = Fk
+    return jnp.stack(zs), Ul, jnp.stack(fs)
+
+
+def _stage_jacs_xla(Zl, Ul, jac_ops, jlayout, nz, m):
+    """Single-lane XLA evaluation of the stage Jacobians from the SAME
+    generator operands the kernel consumes (pure fallback / oracle).
+    Zl (Np, nz), Ul (Np, m) -> (jz (Np, nz, nz), ju (Np, nz, m))."""
+    nza = nz + m
+    f32 = lambda hi, lo: hi.astype(jnp.float32) + lo.astype(jnp.float32)
+    A1c = jac_ops[0][:, 0]
+    Gxz = f32(jac_ops[1], jac_ops[2])
+    Gxu = f32(jac_ops[3], jac_ops[4])
+    Jc = A1c[None, :] + Zl @ Gxz.T + Ul @ Gxu.T        # (Np, nza*nz)
+    idx = 5
+    prev = None
+    for b in range(len(jlayout)):
+        if b == 0:
+            Spz, Spu, Sdz, Sdu, Gmh, Gml = jac_ops[idx:idx + 6]
+            idx += 6
+            par = Zl @ jnp.asarray(Spz).T + Ul @ jnp.asarray(Spu).T
+        else:
+            Spar, Sdz, Sdu, Gmh, Gml = jac_ops[idx:idx + 5]
+            idx += 5
+            par = prev @ jnp.asarray(Spar).T
+        dim = Zl @ jnp.asarray(Sdz).T + Ul @ jnp.asarray(Sdu).T
+        mono = par * dim
+        Jc = Jc + mono @ f32(Gmh, Gml).T
+        prev = mono
+    Np = Zl.shape[0]
+    J = Jc.reshape(Np, nza, nz).transpose(0, 2, 1)     # [k, o, i]
+    return J[..., :nz], J[..., nz:]
+
+
+def solve_qp_nmpc_stages(Zl, Ul, Fv, zeta, u_prev, sq, sqRef, Cz, r_diag,
+                         A, cF, F0, cols, jac_ops, jlayout,
+                         iters: int = 25, x0=None, q0=None, lam0=None,
+                         backend: str = "auto", band_offset: int = None,
+                         roll_mode: str = "ship", roll_ops=(), flayout=()
+                         ) -> QPSolution:
+    """Stage-Jacobian-fused NMPC-pass solve: Jacobian/defect GENERATION,
+    the sensitivity condensation, W/v assembly, and the interior point
+    all run inside one Pallas kernel when batched
+    (``ops.pallas.qp_ipm.solve_qp_nmpc_stages_batched``).
+
+    One stage earlier than ``solve_qp_nmpc``: per-lane inputs are the
+    SQP linearization trajectory (Zl (Np, nz), Ul (Np, m)) and rollout
+    dynamics values Fv (Np, nz) instead of the materialized jz/ju/cv
+    stacks -- those (B, Np, nz, nza) Jacobian stacks (~47 MB/pass at
+    B=32768) were the NMPC's remaining batch-scaling wall (round-4
+    verdict #3).  ``jac_ops``/``jlayout`` come from
+    ``build_stage_jac_ops``.  Unbatched / non-TPU calls evaluate the
+    Jacobians in XLA from the same generators and take the
+    ``solve_qp_nmpc`` pure path.
+
+    ``roll_mode`` 'roll'/'hold' (with ``roll_ops``/``flayout`` from
+    ``build_stage_roll_ops``) generates the linearization trajectory
+    itself from the plan / held state -- in-kernel on the Pallas route
+    (the SQP's between-pass rollout was 26% of the NMPC step at
+    B=32768), in XLA on the pure path.  Zl/Fv (and for 'hold' Ul) are
+    ignored then.
+    """
+    _debug_check_band(A, band_offset)
+    dummy = jnp.zeros((0,), jnp.float32)
+    if roll_mode != "ship":
+        Zl, Fv = dummy, dummy
+        if roll_mode == "hold":
+            Ul = dummy
+    return _solve_qp_nmpc_stages(
+        Zl, Ul, Fv, zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0,
+        tuple(int(c) for c in cols), jac_ops, tuple(jlayout), iters, x0,
+        q0, lam0, backend, band_offset, roll_mode, tuple(roll_ops),
+        tuple(flayout))
+
+
+@partial(jax.jit,
+         static_argnames=("cols", "jlayout", "iters", "backend",
+                          "band_offset", "roll_mode", "flayout"))
+def _solve_qp_nmpc_stages(Zl, Ul, Fv, zeta, u_prev, sq, sqRef, Cz, r_diag,
+                          A, cF, F0, cols, jac_ops, jlayout, iters, x0,
+                          q0, lam0, backend, band_offset,
+                          roll_mode="ship", roll_ops=(),
+                          flayout=()) -> QPSolution:
+    with jax.default_matmul_precision("highest"):
+        use_pallas = (backend != "jax"
+                      and jnp.asarray(cF).shape[-1] > 0
+                      and jnp.asarray(zeta).dtype == jnp.float32
+                      and jax.default_backend() in ("tpu", "axon"))
+        nz = zeta.shape[-1]
+        m = u_prev.shape[-1]
+        Np = len(cols)
+        if not use_pallas:
+            if roll_mode != "ship":
+                Ul_eff = Ul if roll_mode == "roll" else \
+                    jnp.tile(u_prev[None], (Np, 1))
+                Zl, Ul, Fv = _stage_roll_xla(zeta, Ul_eff, roll_ops,
+                                             flayout, nz, m, Np, roll_mode)
+            jz, ju = _stage_jacs_xla(Zl, Ul, jac_ops, jlayout, nz, m)
+            cv = Fv - jnp.einsum("kij,kj->ki", jz, Zl) \
+                    - jnp.einsum("kij,kj->ki", ju, Ul)
+            W, v = _nmpc_condense_assemble(jz, ju, cv, zeta, u_prev, sq,
+                                           sqRef, Cz, cols, m)
+            b = cF - F0 @ u_prev
+            P, q = _factored_Pq(W, v, r_diag, q0)
+            return _solve_qp_impl(P, q, A, b, iters, x0, True, lam0)
+        warm = x0 is not None
+        if x0 is None:
+            x0 = jnp.zeros(A.shape[-1:], jnp.float32)
+        has_q0 = q0 is not None
+        if q0 is None:
+            q0 = jnp.zeros(A.shape[-1:], jnp.float32)
+        warm_dual = lam0 is not None
+        if lam0 is None:
+            lam0 = jnp.ones(cF.shape, jnp.float32)
+        f = _nmpc_stages_routed_solver(cols, jlayout, iters, warm, has_q0,
+                                       band_offset, warm_dual, roll_mode,
+                                       flayout)
+        x, lam, ok, gap = f(jnp.asarray(Zl, jnp.float32),
+                            jnp.asarray(Ul, jnp.float32),
+                            jnp.asarray(Fv, jnp.float32),
+                            jnp.asarray(zeta, jnp.float32),
+                            jnp.asarray(u_prev, jnp.float32),
+                            jnp.asarray(sq, jnp.float32),
+                            jnp.asarray(sqRef, jnp.float32),
+                            jnp.asarray(Cz, jnp.float32),
+                            jnp.asarray(r_diag, jnp.float32),
+                            jnp.asarray(A, jnp.float32),
+                            jnp.asarray(cF, jnp.float32),
+                            jnp.asarray(F0, jnp.float32),
+                            jac_ops,
+                            jnp.asarray(x0, jnp.float32),
+                            jnp.asarray(q0, jnp.float32),
+                            jnp.asarray(lam0, jnp.float32),
+                            tuple(roll_ops))
+        return QPSolution(x=x, lam=lam, ok=ok, gap=gap)
+
+
+def _nmpc_stages_routed_solver(cols, jlayout, iters: int, warm: bool,
+                               has_q0: bool, band: int, warm_dual: bool,
+                               roll_mode: str = "ship", flayout=()):
+    """custom_vmap'd stage-fused NMPC solver (see ``_nmpc_routed_solver``:
+    same routing shape, one stage earlier)."""
+    key = ("nmpc_stages", cols, jlayout, iters, warm, has_q0, band,
+           warm_dual, roll_mode, tuple(flayout))
+    f = _ROUTED_CACHE.get(key)
+    if f is not None:
+        return f
+    from jax.custom_batching import custom_vmap
+
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_nmpc_stages_batched,
+    )
+
+    def _pure(Zl, Ul, Fv, zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0,
+              jac_ops, x0, q0, lam0, roll_ops):
+        nz = zeta.shape[-1]
+        m = u_prev.shape[-1]
+        Np = len(cols)
+        if roll_mode != "ship":
+            Ul_eff = Ul if roll_mode == "roll" else \
+                jnp.tile(u_prev[None], (Np, 1))
+            Zl, Ul, Fv = _stage_roll_xla(zeta, Ul_eff, roll_ops,
+                                         flayout, nz, m, Np, roll_mode)
+        jz, ju = _stage_jacs_xla(Zl, Ul, jac_ops, jlayout, nz, m)
+        cv = Fv - jnp.einsum("kij,kj->ki", jz, Zl) \
+                - jnp.einsum("kij,kj->ki", ju, Ul)
+        W, v = _nmpc_condense_assemble(jz, ju, cv, zeta, u_prev, sq, sqRef,
+                                       Cz, cols, m)
+        b = cF - F0 @ u_prev
+        P, q = _factored_Pq(W, v, r_diag, q0 if has_q0 else None)
+        sol = _solve_qp_impl(P, q, A, b, iters, x0 if warm else None, True,
+                             lam0 if warm_dual else None)
+        return sol.x, sol.lam, sol.ok, sol.gap
+
+    @custom_vmap
+    def solve(Zl, Ul, Fv, zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0,
+              jac_ops, x0, q0, lam0, roll_ops):
+        return _pure(Zl, Ul, Fv, zeta, u_prev, sq, sqRef, Cz, r_diag, A,
+                     cF, F0, jac_ops, x0, q0, lam0, roll_ops)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, Zl, Ul, Fv, zeta, u_prev, sq, sqRef,
+              Cz, r_diag, A, cF, F0, jac_ops, x0, q0, lam0, roll_ops):
+        (Zlb, Ulb, Fvb, zb, ub, sqb, sqRefb, Czb, rb, Ab, cFb, F0b, job,
+         xb, q0b, lb, rob) = in_batched
+        if sqb or Czb or rb or Ab or cFb or F0b or any(
+                jax.tree_util.tree_leaves(job)) or any(
+                jax.tree_util.tree_leaves(rob)):
+            out = jax.vmap(_pure, in_axes=tuple(
+                jax.tree_util.tree_map(lambda bi: 0 if bi else None, bi_)
+                for bi_ in in_batched))(
+                    Zl, Ul, Fv, zeta, u_prev, sq, sqRef, Cz, r_diag, A,
+                    cF, F0, jac_ops, x0, q0, lam0, roll_ops)
+            return out, (True, True, True, True)
+        bc = lambda val, vib: val if vib else \
+            jnp.broadcast_to(val[None], (axis_size,) + val.shape)
+        nz = zeta.shape[-1]
+        Np = len(cols)
+        ship = roll_mode == "ship"
+        x, lam, ok, gap = solve_qp_nmpc_stages_batched(
+            bc(Zl, Zlb) if ship else None,
+            bc(Ul, Ulb) if roll_mode != "hold" else None,
+            bc(Fv, Fvb) if ship else None, bc(zeta, zb),
+            bc(u_prev, ub), sq,
+            bc(sqRef, sqRefb) if sqRefb else sqRef, Cz, r_diag, A, cF,
+            F0, jac_ops,
+            x0=bc(x0, xb) if warm else None,
+            q0=bc(q0, q0b) if has_q0 else None,
+            lam0=bc(lam0, lb) if warm_dual else None,
+            roll_ops=roll_ops,
+            Np=Np, nz=nz, nstate=Cz.shape[1], nproj=Cz.shape[0],
+            cols=cols, jlayout=jlayout, iters=iters, band=band,
+            roll_mode=roll_mode, flayout=flayout)
+        return (x, lam, ok, gap), (True, True, True, True)
+
+    _ROUTED_CACHE[key] = solve
+    return solve
+
+
 def _pallas_routed_solver(iters: int, warm: bool, band: int = None,
                           warm_dual: bool = False):
     """custom_vmap'd shared-A solver: unbatched calls use the pure-JAX path;
