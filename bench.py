@@ -81,11 +81,18 @@ def main():
     # fourier floor (round 4, rti_floor_sweep MODE=snake -- unblocked
     # qp=10 loses 16% of a 0.15-spread grid; 12 is the smallest
     # all-alive count, blocked holds at 10).
+    # Round 5: the bench ships qp_iters=4 -- with the step-fused runner it
+    # BEATS GOLDEN ON BOTH AXES (err_mean 0.0199 vs the reference's 0.0203
+    # AND 22.3M steps/s vs the round-4 record 21.96M; round-4 verdict #5),
+    # and the err gate below pins the quality axis in the driver run.
+    # qp_iters=3 trades ~4% mean error for the last ~17% of throughput
+    # (26.0M at 0.0207) -- use BENCH_QP_ITERS=3 for the throughput-peak
+    # A/B.
     blocks_env = os.environ.get("BENCH_BLOCKS", "1,1,2,5")  # "" = unblocked
     blocks = tuple(int(b) for b in blocks_env.split(",")) if blocks_env \
         else None
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10, qp_iters=int(os.environ.get("BENCH_QP_ITERS", "3")),
+        horizon=10, qp_iters=int(os.environ.get("BENCH_QP_ITERS", "4")),
         qp_dual_warm=os.environ.get("BENCH_DUAL_WARM", "1") != "0",
         qp_dual_shift=False,
         input_blocks=blocks,
@@ -156,6 +163,18 @@ def main():
     # (e.g. qp_iters=1 marginal-cost runs); the driver never sets it
     if alive_frac != 1.0 and not os.environ.get("BENCH_ALLOW_DEAD"):
         raise RuntimeError(f"alive_fraction {alive_frac} != 1.0")
+    # quality gate (round-4 verdict #5): the SHIPPING config must beat the
+    # reference's golden bilinear mean (0.0203, Ksim.m:258 err field of the
+    # shipped blockM run).  Skipped when env knobs select an ablation
+    # config (qp_iters != default, custom blocks, dead-lane ablations).
+    GOLDEN_ERR = 0.0203
+    default_cfg = (os.environ.get("BENCH_QP_ITERS") in (None, "", "4")
+                   and os.environ.get("BENCH_BLOCKS") in (None, "1,1,2,5")
+                   and not os.environ.get("BENCH_ALLOW_DEAD"))
+    if default_cfg and err_mean > GOLDEN_ERR:
+        raise RuntimeError(
+            f"err_mean {err_mean} exceeds the golden bilinear mean "
+            f"{GOLDEN_ERR} at the shipping config")
     mpc_steps = batch * (steps - 1)
     steps_per_s = mpc_steps / dt
     realtime_sims_20hz = steps_per_s / 20.0
