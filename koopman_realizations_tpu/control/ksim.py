@@ -77,11 +77,13 @@ class Ksim:
         self.observer = observer     # optional load observer (control.observer)
         self.meta = mpc.meta
         self.nd = self.meta.nd
-        # trailing-window length: delays need nd+1 rows, the load observer
-        # needs load_obs_horizon+1 rows of past measurements
+        # trailing-window length: delays need nd+1 rows; the load observer
+        # needs load_obs_horizon+1 rows of past measurements, plus nd more
+        # to delay-embed each regression row (observer.embed_zetas)
         self.win = self.nd + 1
         if observer is not None:
-            self.win = max(self.win, mpc.cfg.load_obs_horizon + 1)
+            self.win = max(self.win,
+                           mpc.cfg.load_obs_horizon + 1 + self.nd)
         self._runner_cache = {}      # (ref bytes, steps, ...) -> jitted runner
         # width of the plant's load vector (the arm's is [m_ee, r_offset]);
         # plants with a different disturbance shape expose cfg.nw_plant

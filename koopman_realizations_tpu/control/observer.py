@@ -14,7 +14,14 @@ LAST load component to zero (``Kmpc.m:1349``); all reproduced here as a tiny
 box QP (``ops.qp``), evaluated every ``load_obs_period`` steps inside the
 closed-loop scan.
 
-Limitation carried over from the reference: no delay support (nd must be 0).
+Delays: the reference builds the regression's zeta rows through
+``get_zeta`` (``Kmpc.m:1315,1377``), which embeds ``nd`` delay taps
+(``Kmpc.m:389-400``) -- the estimators are delay-generic even though a
+stale comment at ``Kmpc.m:1305`` claims otherwise.  Here the embedded
+rows build from the closed-loop trailing windows with static gathers;
+``load_obs_horizon`` counts regression EQUATIONS (the window must hold
+``hor + nd + 1`` measurement rows; the reference's ``hor_y`` rows give
+``hor_y - nd - 1`` equations, so hor = hor_y - nd - 1 maps exactly).
 """
 
 from __future__ import annotations
@@ -36,9 +43,7 @@ def make_load_observer(model, cfg):
     returned unchanged (``Ksim.m:185-193``).
     """
     meta = model.meta
-    if meta.nd != 0:
-        raise NotImplementedError("load observer requires delays == 0 "
-                                  "(reference limitation, Kmpc.m:1305)")
+    nd = meta.nd
     nw = meta.nw
     if nw == 0:
         raise ValueError("model has no loads (nw == 0)")
@@ -62,8 +67,26 @@ def make_load_observer(model, cfg):
     box_b = jnp.ones(2 * nfree)
     slope = cfg.load_obs_slope          # |w_j - w_prev_j| <= slope (optional)
 
+    def embed_zetas(ywin, uwin):
+        """Delay-embedded zeta rows for the last hor+1 measurement times
+        (``get_zeta`` semantics; same tap order as ``Ksim.make_body``:
+        current y, then y delays newest-first, then u delays)."""
+        if nd == 0:
+            return ywin[-(hor + 1):]
+        W = ywin.shape[0]
+        rows = []
+        for t in range(hor + 1):
+            i = W - 1 - hor + t
+            parts = [ywin[i]]
+            for j in range(1, nd + 1):
+                parts.append(ywin[i - j])
+            for j in range(1, nd + 1):
+                parts.append(uwin[i - j])
+            rows.append(jnp.concatenate(parts))
+        return jnp.stack(rows)
+
     def estimate(ywin, uwin, what_prev=None):
-        zetas = ywin[-(hor + 1):]              # (hor+1, nzeta) since nd==0
+        zetas = embed_zetas(ywin, uwin)        # (hor+1, nzeta)
         us = uwin[-(hor + 1):]
         g = jax.vmap(basis.lift)(zetas[:-1])   # (hor, N)
         if bilinear:
@@ -101,7 +124,7 @@ def make_load_observer(model, cfg):
         # lax.cond (not where) so load_obs_period > 1 actually SKIPS the
         # estimate QP on off-cadence steps -- k is shared across vmapped
         # lanes (scan xs, unbatched), so the branch stays a real branch
-        update = ((k % period) == 0) & (k > hor)
+        update = ((k % period) == 0) & (k > hor + nd)
         return jax.lax.cond(update,
                             lambda: estimate(ywin, uwin, what_prev),
                             lambda: what_prev)
@@ -123,6 +146,8 @@ def validate_observer(model, cfg, valtrial, sparse_period: int = 0) -> dict:
 
     obs = make_load_observer(model, cfg)
     hor = cfg.load_obs_horizon
+    nd = model.meta.nd
+    back = hor + nd                  # window rows behind the current time
     y = np.asarray(valtrial.y)
     u = np.asarray(valtrial.u)
     wreal = np.asarray(valtrial.w)
@@ -132,14 +157,14 @@ def validate_observer(model, cfg, valtrial, sparse_period: int = 0) -> dict:
     est_jit = jax.jit(obs.estimate)
     history = []
     for i in range(T - 1):
-        if i < hor:
+        if i < back:
             what[i + 1] = what[i]
             continue
         if sparse_period and (i % sparse_period) != 0:
             what[i + 1] = what[i]
             continue
-        ywin = jnp.asarray(y[i - hor: i + 1])
-        uwin = jnp.asarray(u[i - hor: i + 1])
+        ywin = jnp.asarray(y[i - back: i + 1])
+        uwin = jnp.asarray(u[i - back: i + 1])
         if cfg.load_obs_slope is not None:
             w_i = np.asarray(est_jit(ywin, uwin, jnp.asarray(what[i])))
         else:

@@ -188,3 +188,48 @@ def test_observer_slope_constraint(loaded_setup):
     assert dW.max() <= slope + 1e-6
     # slope-limited estimates must still converge toward a useful load
     assert np.abs(res["What"][-1]).max() > 0.1
+
+
+def test_delayed_loaded_observer_recovers_exact_model_load(loaded_setup):
+    """Delay-embedded load estimation (round-4 verdict #6).
+
+    The reference's estimators build their regression rows through
+    ``get_zeta``, which embeds delays (``Kmpc.m:1315,1377`` + ``:389-400``)
+    -- so a delays>0 loaded configuration is in-scope.  Ground truth here
+    is the LEARNED model itself: roll the delays=1 loaded bilinear model
+    at a known scaled load and the estimator must recover that load
+    near-exactly (the regression is then consistent by construction).
+    """
+    from koopman_realizations_tpu.control.observer import make_load_observer
+    import jax.numpy as jnp
+
+    _, _, ds = loaded_setup
+    ks = Ksysid(ds, SysidConfig(model_type="bilinear", obs_type=("poly",),
+                                obs_degree=(2,), loaded=True, delays=1,
+                                dim_red=True)).train_models()
+    model = ks.model
+    meta = model.meta
+    assert meta.nd == 1 and meta.nw == 2
+    n, m, nd = meta.n, meta.m, meta.nd
+    basis = model.basis
+    cfg = _mpc_cfg()
+    obs = make_load_observer(model, cfg)
+    hor = cfg.load_obs_horizon
+
+    rng = np.random.default_rng(3)
+    w_sc = jnp.asarray([0.55, -0.4])
+    T = hor + nd + 1
+    us = jnp.asarray(0.3 * rng.standard_normal((T, m)), jnp.float64)
+    ys = [jnp.asarray(0.05 * rng.standard_normal(n))] * (nd + 1)
+    for i in range(nd, T - 1):
+        parts = [ys[i]]
+        for j in range(1, nd + 1):
+            parts.append(ys[i - j])
+        for j in range(1, nd + 1):
+            parts.append(us[i - j])
+        zeta = jnp.concatenate(parts)
+        znext = model.step(basis.lift_loaded(zeta, w_sc), us[i])
+        ys.append(znext[:n])
+    ywin = jnp.stack(ys)
+    what = np.asarray(obs.estimate(ywin, us))
+    assert np.abs(what - np.asarray(w_sc)).max() < 0.05, what
