@@ -250,11 +250,21 @@ class Ksysid:
         x64 off) doing it at f32 visibly degrades open-loop rollouts (arm
         linear validation 2.6 vs 0.73 mean Euclidean error), so the solve
         always routes through host float64 and casts back.
+
+        f32 sessions additionally truncate at rcond = f32 eps: the lifted
+        features were EVALUATED at f32, so singular directions below the
+        f32 noise floor are pure noise -- the f64 default rcond keeps
+        them, and the minimum-norm solution loads them with huge
+        coefficients (|K| ~ 1e4 observed on a loaded corpus) whose
+        stability-critical cancellations then die in the final f32 cast
+        (rho(A) 1.0000 -> 1.74, open-loop NaN; round-5 root cause).  A
+        no-op when cond(Px) < 1/eps_f32 (the unloaded arm corpora).
         """
         if self.dtype == jnp.float64:
             return lstsq_ops.lstsq(A, B, refine=0)
         X = np.linalg.lstsq(np.asarray(A, np.float64),
-                            np.asarray(B, np.float64), rcond=None)[0]
+                            np.asarray(B, np.float64),
+                            rcond=float(np.finfo(np.float32).eps))[0]
         return jnp.asarray(X, self.dtype)
 
     def get_koopman(self, lasso: float):
