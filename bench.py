@@ -170,6 +170,7 @@ def main():
     GOLDEN_ERR = 0.0203
     default_cfg = (os.environ.get("BENCH_QP_ITERS") in (None, "", "4")
                    and os.environ.get("BENCH_BLOCKS") in (None, "1,1,2,5")
+                   and os.environ.get("BENCH_STEPS") in (None, "", "301")
                    and not os.environ.get("BENCH_ALLOW_DEAD"))
     if default_cfg and err_mean > GOLDEN_ERR:
         raise RuntimeError(

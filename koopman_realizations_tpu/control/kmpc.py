@@ -1364,6 +1364,41 @@ class NonlinearKmpc(_KmpcBase):
                       and self.cfg.sqp_linesearch == 0
                       and os.environ.get("KMPC_NMPC_STAGES") != "0"
                       and os.environ.get("KMPC_NMPC_ROLL") != "0")
+        # whole-SQP single-launch fast path: all passes in one kernel
+        # (ops.qp.solve_qp_nmpc_multipass).  The inter-pass glue is a
+        # function of the previous pass's solution (Sel @ Tb = I, diagonal
+        # Levenberg, row-sliced rollout inputs), so it applies exactly in
+        # the default regime: cold per-pass duals, constant damping.
+        # KMPC_NMPC_MULTIPASS=0 opts out (A/B knob).
+        if (roll_fused and Zl is None and not self.cfg.sqp_dual_warm
+                and self.cfg.sqp_damping_decay == 1.0
+                and os.environ.get("KMPC_NMPC_MULTIPASS") != "0"):
+            sq = jnp.sqrt(self.Qd)
+            rho = self.cfg.sqp_damping
+            if self._Tb is not None:
+                rdiag = self._RdTj + rho * self._bsizes
+                Az_, cF_, F0_ = self._Azj, self._cFzj, self._F0j
+                q0c = -2.0 * rho * np.asarray(self._bsizes)
+            else:
+                nred = (Np - 1) * m
+                rdiag = self.Rd[m:] + rho
+                Az_, cF_, F0_ = self.Fj[:, m:], self.cFj, self.Fj[:, :m]
+                q0c = np.full(nred, -2.0 * rho, np.float32)
+            nred = q0c.shape[0]
+            Gup = np.tile(np.eye(m, dtype=np.float32), (nred // m, 1))
+            from koopman_realizations_tpu.ops.qp import (
+                solve_qp_nmpc_multipass,
+            )
+            sol = solve_qp_nmpc_multipass(
+                zeta, u_prev, sq, sq * ref.reshape(-1), self.Cz, rdiag,
+                Az_, cF_, F0_, self._cols, self._stage_ops, self._jlayout,
+                self._roll_ops, self._flayout, Gup, q0c,
+                n_passes=self.cfg.sqp_iters,
+                hold0=self.cfg.sqp_init != "rollout",
+                iters=self.cfg.qp_iters, backend=self.cfg.qp_backend,
+                band_offset=self._band)
+            xfull = self._Tbj @ sol.x if self._Tb is not None else sol.x
+            return self._assemble_U(u_prev, xfull), sol.ok
         mode0 = "ship"
         if Zl is None:
             if roll_fused:

@@ -1419,6 +1419,144 @@ def _eval_F_rows(nz, m, roll_ops, flayout, z, ul):
     return acc
 
 
+def _nmpc_multipass_kernel(n, mc, iters, slack_floor, tile, band,
+                           n_passes, hold0, Np, nz, nstate, m, nproj,
+                           cols, jlayout, flayout,
+                           z0_ref, up_ref, S0_ref, Gup_ref, q0c_ref,
+                           CzS_ref, sqRef_ref, rdiag_ref,
+                           cFr_ref, F0r_ref, A_ref, At_ref, *rest):
+    """The ENTIRE NMPC SQP -- all ``n_passes`` relinearization passes --
+    in ONE kernel launch.
+
+    Builds on ``_nmpc_stage_kernel``'s in-VMEM rollout/Jacobian/condense
+    machinery; the inter-pass glue that previously forced one launch per
+    pass is algebraically trivial in-kernel: the within-SQP primal warm
+    start is Sel @ (Tb x_prev) = x_prev (Sel Tb = I), the Levenberg
+    linear term is q0 = q0_coef * x_prev elementwise (Tb^T Tb diagonal),
+    the next rollout's stage inputs are ROW SLICES of x_prev (stage k's
+    group block), and the pass-0 plan tile(u_prev) is the same form with
+    x_prev0 = Gup @ u_prev (one-hot group tiling).  Requires the default
+    SQP regime: cold duals per pass (sqp_dual_warm False), constant
+    damping (decay 1), no best-of-passes/line-search/multistart --
+    ``kmpc.NonlinearKmpc`` guards.
+
+    ``hold0``: pass 0 linearizes about the held state (sqp_init 'hold')
+    instead of the rollout.  ``rest``: jac ops, roll ops, structure
+    operands, outputs (x, s, lam, obj).
+    """
+    T = tile
+    reg = jnp.float32(1e-7)
+    nU = m + n
+    njac = _stage_jac_ops_count(jlayout)
+    jac_ops = rest[:njac]
+    rest = rest[njac:]
+    nroll = _stage_roll_ops_count(flayout)
+    roll_ops = rest[:nroll]
+    rest = rest[nroll:]
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (rowi == coli).astype(jnp.float32)
+
+    x_ref, s_ref, lam_ref, obj_ref = rest[-4:]
+    up = up_ref[...]                                   # (m, T)
+    zeta0 = z0_ref[...]                                # (nz, T)
+    CzS = CzS_ref[...]
+    sqRef = sqRef_ref[...]
+    q0c = q0c_ref[...]                                 # (n, 1) -2 rho bsz
+    rdiag_obj = rdiag_ref[0, :]
+    A = A_ref[...]
+    At = At_ref[...]
+    b = jnp.broadcast_to(cFr_ref[...], (mc, T))
+    F0r = F0r_ref[...]
+    for j in range(m):
+        b = b - F0r[:, j][:, None] * up[j][None, :]
+    form_AtDA = _make_form_AtDA(band, n, T, rest, eye, rowi, coli)
+    # stage k (1-based in U[1:]) -> its group's first decision row
+    group_row = [cols[k] - m for k in range(1, Np)]
+
+    A1c = jac_ops[0]
+    Gxzh, Gxzl, Gxuh, Gxul = jac_ops[1:5]
+    xp = _dot(Gup_ref[...], up)                        # pass-0 plan rows
+    x_out = s_out = lam_out = obj_out = None
+    for p in range(n_passes):
+        u_rows = [up] + [xp[g:g + m, :] for g in group_row]
+        if p == 0 and hold0:
+            F0v = _eval_F_rows(nz, m, roll_ops, flayout, zeta0, up)
+            zl_rows = [zeta0] * Np
+            fv_rows = [F0v] * Np
+        else:
+            zl_rows, fv_rows = [], []
+            z = zeta0
+            for k in range(Np):
+                Fk = _eval_F_rows(nz, m, roll_ops, flayout, z, u_rows[k])
+                zl_rows.append(z)
+                fv_rows.append(Fk)
+                z = Fk
+        Jcols, cvs = [], []
+        for k in range(Np):
+            zl = zl_rows[k]
+            ul = u_rows[k]
+            zlh, zll = _split_bf16_val(zl)
+            ulh, ull = _split_bf16_val(ul)
+            Jc = (A1c[...]
+                  + _dot3(Gxzh[...], Gxzl[...], zlh, zll)
+                  + _dot3(Gxuh[...], Gxul[...], ulh, ull))
+            idx = 5
+            prev = None
+            for bi in range(len(jlayout)):
+                if bi == 0:
+                    Spz, Spu, Sdz, Sdu, Gmh, Gml = jac_ops[idx:idx + 6]
+                    idx += 6
+                    par = _dot_sel(Spz, zl) + _dot_sel(Spu, ul)
+                else:
+                    Spar, Sdz, Sdu, Gmh, Gml = jac_ops[idx:idx + 5]
+                    idx += 5
+                    par = _dot_sel(Spar, prev)
+                dim = _dot_sel(Sdz, zl) + _dot_sel(Sdu, ul)
+                mono = par * dim
+                mh, ml = _split_bf16_val(mono)
+                Jc = Jc + _dot3(Gmh[...], Gml[...], mh, ml)
+                prev = mono
+            Jcols.append(Jc)
+            cvk = fv_rows[k]
+            for j in range(nz):
+                cvk = cvk - Jc[j * nz:(j + 1) * nz, :] * zl[j][None, :]
+            for j in range(m):
+                cvk = cvk - Jc[(nz + j) * nz:(nz + j + 1) * nz, :] \
+                    * ul[j][None, :]
+            cvs.append(cvk)
+
+        W_rows, v_rows = _nmpc_condense_core(
+            Np, nz, nstate, m, nproj, nU, cols, T, CzS, sqRef, up,
+            S0_ref[...], zeta0,
+            get_Azcol=lambda k, j: Jcols[k][j * nz:(j + 1) * nz, :],
+            get_Au=lambda k: jnp.concatenate(
+                [Jcols[k][(nz + j) * nz:(nz + j + 1) * nz, :][:, None, :]
+                 for j in range(m)], axis=1),
+            get_cv=lambda k: cvs[k])
+
+        P = (eye * (2.0 * rdiag_obj)[None, :])[..., None]
+        qv = jnp.zeros((n, T), jnp.float32)
+        for Wr, vr in zip(W_rows, v_rows):
+            P = P + 2.0 * (Wr[:, None, :] * Wr[None, :, :])
+            qv = qv + Wr * vr[None, :]
+        qv = 2.0 * qv + q0c * xp
+        obj = _diag_obj_scale(P, n)
+        iobj = 1.0 / obj
+        Pr = P * iobj[None, None, :] + reg * eye[..., None]
+        q = qv * iobj[None, :]
+        lam0 = jnp.ones((mc, T), jnp.float32)
+        x, s_sl, lam = _mehrotra_loop(n, mc, iters, 1e-2, Pr, q, b, A,
+                                      At, form_AtDA, xp, lam0)
+        xp = x
+        x_out, s_out, lam_out, obj_out = x, s_sl, lam, obj
+    x_ref[...] = x_out
+    s_ref[...] = s_out
+    lam_ref[...] = lam_out
+    obj_ref[...] = obj_out[None, :]
+
+
 def _nmpc_stage_kernel(n, mc, iters, slack_floor, tile, band, warm_dual,
                        has_q0, Np, nz, nstate, m, nproj, cols, jlayout,
                        roll_mode, flayout,
@@ -1578,6 +1716,126 @@ def _nmpc_stage_kernel(n, mc, iters, slack_floor, tile, band, warm_dual,
     x_ref[...] = x
     s_ref[...] = s_sl
     lam_ref[...] = lam
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "interpret", "tol", "gap_sane",
+                                    "tile", "band", "Np", "nz", "nstate",
+                                    "nproj", "cols", "jlayout", "flayout",
+                                    "n_passes", "hold0"))
+def solve_qp_nmpc_multipass_batched(zeta, u_prev, sq, sqRef, Cz, r_diag,
+                                    A, cF, F0, jac_ops, roll_ops, Gup,
+                                    q0c, *, Np: int, nz: int, nstate: int,
+                                    nproj: int, cols: tuple,
+                                    jlayout: tuple, flayout: tuple,
+                                    n_passes: int, hold0: bool,
+                                    iters: int = 10,
+                                    interpret: bool = False,
+                                    tol: float = 3e-3,
+                                    gap_sane: float = 5e-2,
+                                    tile: int = None, band: int = None):
+    """Whole-SQP batched solve (see ``_nmpc_multipass_kernel``): all
+    ``n_passes`` relinearization passes in one launch.  Per-lane inputs
+    shrink to (zeta, u_prev); ``Gup``/``q0c`` are the static pass-0
+    plan-tiling map and Levenberg coefficient column."""
+    zeta = jnp.asarray(zeta, jnp.float32)
+    u_prev = jnp.asarray(u_prev, jnp.float32)
+    A = jnp.asarray(A, jnp.float32)
+    sqRef = jnp.asarray(sqRef, jnp.float32)
+    per_ref = sqRef.ndim == 2
+    B = zeta.shape[0]
+    n = A.shape[1]
+    mc = A.shape[0]
+    m = u_prev.shape[1]
+    p = (Np + 1) * nproj
+    nU_cols = n + m
+    if tile is None:
+        import os
+        env = os.environ.get("KMPC_NMPC_TILE")
+        tile = int(env) if env else min(512, factored_tile_for(n))
+
+    row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)
+    A_eq = A / row[:, None]
+    cFr = jnp.asarray(cF, jnp.float32) / row
+    F0r = jnp.asarray(F0, jnp.float32) / row[:, None]
+    CzS = (jnp.asarray(sq, jnp.float32)[:, None]
+           * jnp.tile(jnp.asarray(Cz, jnp.float32), (Np + 1, 1)))
+    At = A_eq.T
+    if band is None:
+        structured = (jnp.einsum("ci,cj->ijc", A_eq, A_eq)
+                      .reshape(n * n, mc),)
+        struct_specs = [(n * n, mc)]
+    else:
+        Wd = (A_eq * A_eq).T
+        Wo = (A_eq[:, :n - band] * A_eq[:, band:]).T if band > 0 \
+            else jnp.zeros((1, mc), jnp.float32)
+        structured = (Wd, Wo)
+        struct_specs = [(n, mc), (Wo.shape[0], mc)]
+
+    pad = (-B) % tile
+    if pad:
+        zpad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+        zeta, u_prev = zpad(zeta), zpad(u_prev)
+        if per_ref:
+            sqRef = zpad(sqRef)
+    Bp = zeta.shape[0]
+    S0 = jnp.zeros((nz, nU_cols, Bp), jnp.float32)
+
+    kern = functools.partial(_nmpc_multipass_kernel, n, mc, iters, 1e-2,
+                             tile, band, n_passes, hold0, Np, nz, nstate,
+                             m, nproj, tuple(cols), tuple(jlayout),
+                             tuple(flayout))
+    lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    lane3 = lambda r, c: pl.BlockSpec((r, c, tile), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM)
+    shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    jac_ops = tuple(jnp.asarray(a) for a in jac_ops)
+    roll_ops = tuple(jnp.asarray(a) for a in roll_ops)
+    jac_specs = [shared(*a.shape) for a in jac_ops]
+    roll_specs = [shared(*a.shape) for a in roll_ops]
+    xt, st, lamt, objt = pl.pallas_call(
+        kern,
+        grid=(Bp // tile,),
+        in_specs=[
+            lane2(nz), lane2(m), lane3(nz, nU_cols),
+            shared(n, m), shared(n, 1),
+            shared(p, nstate),
+            lane2(p) if per_ref else shared(p, 1),
+            shared(1, n),
+            shared(mc, 1), shared(mc, m),
+            shared(mc, n), shared(n, mc),
+            *jac_specs, *roll_specs,
+            *[shared(r, c) for r, c in struct_specs],
+        ],
+        out_specs=[lane2(n), lane2(mc), lane2(mc), lane2(1)],
+        out_shape=[jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Bp), jnp.float32)],
+        interpret=interpret,
+    )(zeta.T, u_prev.T, S0, jnp.asarray(Gup, jnp.float32),
+      jnp.asarray(q0c, jnp.float32).reshape(-1, 1),
+      CzS, sqRef.T if per_ref else sqRef[:, None],
+      jnp.asarray(r_diag, jnp.float32)[None],
+      cFr[:, None], F0r, A_eq, At, *jac_ops, *roll_ops, *structured)
+
+    x = xt.T[:B]
+    s = st.T[:B]
+    lam = lamt.T[:B]
+    obj = objt[0, :B]
+    with jax.default_matmul_precision("highest"):
+        b_eq = cFr[None, :] - jnp.asarray(u_prev[:B], jnp.float32) @ F0r.T
+        gap = jnp.sum(s * lam, axis=1) / mc
+        r_p = jnp.max(jnp.maximum(x @ A_eq.T - b_eq, 0.0), axis=1)
+        finite = jnp.all(jnp.isfinite(x), axis=1)
+        ok = finite & (gap < gap_sane) \
+            & (r_p < tol * jnp.maximum(jnp.max(jnp.abs(b_eq), axis=1), 1.0))
+        x = jnp.where(finite[:, None], x, jnp.nan)
+        lam_orig = lam * obj[:, None] / row[None, :]
+    return x, lam_orig, ok, gap
 
 
 @functools.partial(jax.jit,

@@ -1061,6 +1061,146 @@ def _nmpc_stages_routed_solver(cols, jlayout, iters: int, warm: bool,
     return solve
 
 
+def solve_qp_nmpc_multipass(zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF,
+                            F0, cols, jac_ops, jlayout, roll_ops, flayout,
+                            Gup, q0c, n_passes: int, hold0: bool,
+                            iters: int = 25, backend: str = "auto",
+                            band_offset: int = None) -> QPSolution:
+    """Whole-SQP solve: ALL relinearization passes in one Pallas launch
+    (``ops.pallas.qp_ipm._nmpc_multipass_kernel``).  Applies in the
+    default SQP regime (cold per-pass duals, constant damping, no
+    line-search/best-of-passes); the inter-pass warm start, Levenberg
+    term, and rollout inputs are all in-kernel functions of the previous
+    pass's solution.  Returns the FINAL pass's solution/ok."""
+    _debug_check_band(A, band_offset)
+    return _solve_qp_nmpc_multipass(
+        zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0,
+        tuple(int(c) for c in cols), tuple(jac_ops), tuple(jlayout),
+        tuple(roll_ops), tuple(flayout), Gup, q0c, int(n_passes),
+        bool(hold0), iters, backend, band_offset)
+
+
+@partial(jax.jit,
+         static_argnames=("cols", "jlayout", "flayout", "n_passes",
+                          "hold0", "iters", "backend", "band_offset"))
+def _solve_qp_nmpc_multipass(zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF,
+                             F0, cols, jac_ops, jlayout, roll_ops,
+                             flayout, Gup, q0c, n_passes, hold0, iters,
+                             backend, band_offset) -> QPSolution:
+    with jax.default_matmul_precision("highest"):
+        use_pallas = (backend != "jax"
+                      and jnp.asarray(cF).shape[-1] > 0
+                      and jnp.asarray(zeta).dtype == jnp.float32
+                      and jax.default_backend() in ("tpu", "axon"))
+        if not use_pallas:
+            sol = _nmpc_multipass_pure(
+                zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0, cols,
+                jac_ops, jlayout, roll_ops, flayout, Gup, q0c, n_passes,
+                hold0, iters)
+            return sol
+        f = _nmpc_multipass_routed_solver(cols, jlayout, flayout,
+                                          n_passes, hold0, iters,
+                                          band_offset)
+        x, lam, ok, gap = f(jnp.asarray(zeta, jnp.float32),
+                            jnp.asarray(u_prev, jnp.float32),
+                            jnp.asarray(sq, jnp.float32),
+                            jnp.asarray(sqRef, jnp.float32),
+                            jnp.asarray(Cz, jnp.float32),
+                            jnp.asarray(r_diag, jnp.float32),
+                            jnp.asarray(A, jnp.float32),
+                            jnp.asarray(cF, jnp.float32),
+                            jnp.asarray(F0, jnp.float32),
+                            tuple(jac_ops), tuple(roll_ops),
+                            jnp.asarray(Gup, jnp.float32),
+                            jnp.asarray(q0c, jnp.float32))
+        return QPSolution(x=x, lam=lam, ok=ok, gap=gap)
+
+
+def _nmpc_multipass_pure(zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0,
+                         cols, jac_ops, jlayout, roll_ops, flayout, Gup,
+                         q0c, n_passes, hold0, iters):
+    """Single-lane XLA mirror of the multipass kernel (pure fallback)."""
+    nz = zeta.shape[-1]
+    m = u_prev.shape[-1]
+    Np = len(cols)
+    group_row = [cols[k] - m for k in range(1, Np)]
+    xp = jnp.asarray(Gup) @ u_prev
+    sol = None
+    b = cF - F0 @ u_prev
+    for p in range(n_passes):
+        Ul = jnp.stack([u_prev] + [xp[g:g + m] for g in group_row])
+        mode = "hold" if (p == 0 and hold0) else "roll"
+        Zl, Ul, Fv = _stage_roll_xla(zeta, Ul, roll_ops, flayout, nz, m,
+                                     Np, mode)
+        jz, ju = _stage_jacs_xla(Zl, Ul, jac_ops, jlayout, nz, m)
+        cv = Fv - jnp.einsum("kij,kj->ki", jz, Zl) \
+                - jnp.einsum("kij,kj->ki", ju, Ul)
+        W, v = _nmpc_condense_assemble(jz, ju, cv, zeta, u_prev, sq,
+                                       sqRef, Cz, cols, m)
+        P, q = _factored_Pq(W, v, r_diag, jnp.asarray(q0c).reshape(-1) * xp)
+        sol = _solve_qp_impl(P, q, A, b, iters, xp, True, None)
+        xp = sol.x
+    return sol
+
+
+def _nmpc_multipass_routed_solver(cols, jlayout, flayout, n_passes: int,
+                                  hold0: bool, iters: int, band: int):
+    """custom_vmap'd whole-SQP solver (see the stage-fused sibling)."""
+    key = ("nmpc_multipass", cols, jlayout, flayout, n_passes, hold0,
+           iters, band)
+    f = _ROUTED_CACHE.get(key)
+    if f is not None:
+        return f
+    from jax.custom_batching import custom_vmap
+
+    from koopman_realizations_tpu.ops.pallas.qp_ipm import (
+        solve_qp_nmpc_multipass_batched,
+    )
+
+    def _pure(zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0, jac_ops,
+              roll_ops, Gup, q0c):
+        sol = _nmpc_multipass_pure(zeta, u_prev, sq, sqRef, Cz, r_diag,
+                                   A, cF, F0, cols, jac_ops, jlayout,
+                                   roll_ops, flayout, Gup, q0c, n_passes,
+                                   hold0, iters)
+        return sol.x, sol.lam, sol.ok, sol.gap
+
+    @custom_vmap
+    def solve(zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0, jac_ops,
+              roll_ops, Gup, q0c):
+        return _pure(zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0,
+                     jac_ops, roll_ops, Gup, q0c)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, zeta, u_prev, sq, sqRef, Cz, r_diag,
+              A, cF, F0, jac_ops, roll_ops, Gup, q0c):
+        (zb, ub, sqb, sqRefb, Czb, rb, Ab, cFb, F0b, job, rob, Gb,
+         qb) = in_batched
+        if sqb or Czb or rb or Ab or cFb or F0b or Gb or qb or any(
+                jax.tree_util.tree_leaves(job)) or any(
+                jax.tree_util.tree_leaves(rob)):
+            out = jax.vmap(_pure, in_axes=tuple(
+                jax.tree_util.tree_map(lambda bi: 0 if bi else None, bi_)
+                for bi_ in in_batched))(
+                    zeta, u_prev, sq, sqRef, Cz, r_diag, A, cF, F0,
+                    jac_ops, roll_ops, Gup, q0c)
+            return out, (True, True, True, True)
+        bc = lambda val, vib: val if vib else \
+            jnp.broadcast_to(val[None], (axis_size,) + val.shape)
+        x, lam, ok, gap = solve_qp_nmpc_multipass_batched(
+            bc(zeta, zb), bc(u_prev, ub), sq,
+            bc(sqRef, sqRefb) if sqRefb else sqRef, Cz, r_diag, A, cF,
+            F0, jac_ops, roll_ops, Gup, q0c,
+            Np=len(cols), nz=zeta.shape[-1], nstate=Cz.shape[1],
+            nproj=Cz.shape[0], cols=cols, jlayout=jlayout,
+            flayout=flayout, n_passes=n_passes, hold0=hold0, iters=iters,
+            band=band)
+        return (x, lam, ok, gap), (True, True, True, True)
+
+    _ROUTED_CACHE[key] = solve
+    return solve
+
+
 def _pallas_routed_solver(iters: int, warm: bool, band: int = None,
                           warm_dual: bool = False):
     """custom_vmap'd shared-A solver: unbatched calls use the pure-JAX path;
