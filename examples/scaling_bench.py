@@ -62,12 +62,18 @@ def main():
     ks = Ksysid(data, SysidConfig(model_type="bilinear", obs_type=("poly",),
                                   obs_degree=(3,), dim_red=True,
                                   dtype="float32")).train_models()
+    # the SHIPPING bench configuration (bench.py round 5: blocked RTI,
+    # qp_iters=4 + dual warm) so the recorded scaling evidence matches the
+    # program that ships -- round-4 verdict #8
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
         horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
         input_slopeConst=1e-1, cost_running=10.0, cost_terminal=100.0,
-        cost_input=(3e-3, 2e-3, 1e-3), proj_idx=(4, 5)))
+        cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2), proj_idx=(4, 5),
+        qp_iters=4, qp_dual_warm=True, qp_dual_shift=False,
+        input_blocks=(1, 1, 2, 5)))
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
-                        output_type="markers", substeps=3))
+                        output_type="markers", substeps=3, newton_iters=2,
+                        jac_mode="step"))
     sim = Ksim(arm, mpc)
 
     steps = int(os.environ.get("SCALING_STEPS", "40"))
