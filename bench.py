@@ -109,10 +109,15 @@ def main():
     # newton_iters=2 + jac_mode='step' (one Jacobian/factorization per Ts):
     # closed-loop error and one-step accuracy vs a fine reference are
     # identical to exact Newton (the floor is substep resolution), +20%
+    # newton_iters=1 (round 5): IN the step-fused kernel one chord Newton
+    # per stage is +4.4% at identical quality (bench err 0.0199, 192-lane
+    # multi-ref grid alive 1.0 / err 0.0184 / worst 0.0360 vs 0.0357) --
+    # the round-3 finding that newton=1 was 10% SLOWER was an XLA
+    # scheduling artifact of the unfused loop and does not apply in-kernel
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
                         output_type="markers",
                         substeps=int(os.environ.get("BENCH_SUBSTEPS", "3")),
-                        newton_iters=int(os.environ.get("BENCH_NEWTON", "2")),
+                        newton_iters=int(os.environ.get("BENCH_NEWTON", "1")),
                         jac_mode="step"))
     sim = Ksim(arm, mpc)
 

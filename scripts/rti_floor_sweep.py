@@ -66,7 +66,9 @@ def bench_arm():
     from koopman_realizations_tpu.config import ArmConfig
     from koopman_realizations_tpu.models.arm import Arm
     return Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
-                         output_type="markers", substeps=3, newton_iters=2,
+                         output_type="markers",
+                         substeps=int(os.environ.get("ARM_SUBSTEPS", "3")),
+                         newton_iters=int(os.environ.get("ARM_NEWTON", "2")),
                          jac_mode="step"))
 
 
