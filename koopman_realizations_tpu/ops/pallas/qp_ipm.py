@@ -1752,7 +1752,9 @@ def solve_qp_nmpc_multipass_batched(zeta, u_prev, sq, sqRef, Cz, r_diag,
     if tile is None:
         import os
         env = os.environ.get("KMPC_NMPC_TILE")
-        tile = int(env) if env else min(512, factored_tile_for(n))
+        # multipass re-sweep (round 5, B=32768): 512 1892k / 640 1871k /
+        # 768 1980k / 896 1944k steps/s; 1024 compiles pathologically
+        tile = int(env) if env else min(768, factored_tile_for(n))
 
     row = jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-10)
     A_eq = A / row[:, None]
