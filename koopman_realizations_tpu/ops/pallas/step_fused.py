@@ -363,5 +363,4 @@ def build_step_fused(mpc, arm, scaler, tile: int = None,
         return (padb(ysc0), padb(upsc0), padb(X0), padb(W), padb(alive0),
                 padb(x00), padb(lam0), padb(yp0))
 
-    return step_fn, init_carry, {"tile": tile, "B_pad": None, "n": n,
-                                 "mc": mc}
+    return step_fn, init_carry, {"tile": tile, "n": n, "mc": mc}

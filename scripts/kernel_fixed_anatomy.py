@@ -1,5 +1,13 @@
 """Decompose the lifted-kernel PROLOGUE cost (timing-only stub variants).
 
+HISTORICAL NOTE: this script snapshots the EARLY-round-5 kernel body
+(serial per-row lift, 6-pass assembly, max|P| scale) -- the variants it
+stubs are the ones the round-5 optimizations then removed.  Its stub
+attributions also proved DCE-confounded at iters=0; the decisive
+measurements were kernel_anatomy.py's static-iters slope and the
+KMPC_ASM_PREC=default probe.  Kept as the record of the method and its
+failure mode.
+
 kernel_anatomy.py found the bench kernel = 0.77 ms fixed + 0.39 ms/iter at
 B=65536 (iters=3 -> 2.18 ms).  This bench copies ``_bilin_lift_kernel``
 with pieces stubbed (shapes preserved, numerics garbage) at iters=0 to

@@ -42,14 +42,16 @@ def main():
     # (1,1,2,5) + qp_iters=3 + dual warm (shift dropped: neutral blocked), verified
     # golden-class tracking, alive 1.0; qp_dual_warm is a no-op for the
     # NMPC controller)
+    # the SHIPPING round-5 bench config: blocked qp=4 + dual warm + the
+    # step-fused runner (newton=1 chord plant in-kernel)
     cfg = MpcConfig(horizon=10, input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8),
                     input_slopeConst=1e-1, cost_running=10.0,
                     cost_terminal=100.0,
                     cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2),
-                    proj_idx=(4, 5), qp_iters=3, qp_dual_warm=True,
+                    proj_idx=(4, 5), qp_iters=4, qp_dual_warm=True,
                     qp_dual_shift=False, input_blocks=(1, 1, 2, 5))
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
-                        output_type="markers", substeps=3, newton_iters=2,
+                        output_type="markers", substeps=3, newton_iters=1,
                         jac_mode="step"))
     steps = 301
 
@@ -65,6 +67,21 @@ def main():
         X0 = np.zeros((B, 6), np.float32)
         X0[:, 0] = np.linspace(-0.2, 0.2, B)
         W = np.zeros((B, 2), np.float32)
+        if sim.fused_step_eligible():
+            runner = sim.fused_runner(ref["y"], steps=steps)
+            o = jax.block_until_ready(runner(X0, W))
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                o = jax.block_until_ready(runner(X0, W))
+            dt = (time.perf_counter() - t0) / reps
+            alive = float(np.asarray(o["alive"])[:, -1].mean())
+            Yp = np.asarray(o["Yp"])
+            R = np.broadcast_to(
+                np.asarray(ref["y"], np.float32)[None, : steps - 1],
+                Yp.shape)
+            err = float(np.sqrt(((R - Yp) ** 2).sum(-1)).mean())
+            return B * (steps - 1) / dt, alive, err
         runner = sim.batched_runner(ref["y"], steps=steps,
                                     record=("Y", "R", "alive"))
         o = jax.block_until_ready(runner(X0, W))
@@ -134,8 +151,8 @@ def main():
         print(f"{mt:10s} B={B:5d}: {sps:9.0f} steps/s  alive={alive:.4f}  "
               f"err={err:.4f}")
 
-    print("== bilinear throughput vs batch ==")
-    for B in (4096, 8192, 16384, 32768, 65536):
+    print("== bilinear throughput vs batch (step-fused runner) ==")
+    for B in (8192, 32768, 65536, 131072, 262144):
         sps, alive, _ = run(sim_b, B)
         print(f"B={B:6d}: {sps:9.0f} steps/s  alive={alive:.4f}")
 
