@@ -396,28 +396,45 @@ class Ksim:
 
         return jax.jit(jax.vmap(one))
 
-    def fused_step_eligible(self) -> bool:
-        """Whether the single-launch step-fused fast path applies (see
-        ``ops.pallas.step_fused``): the shipping bilinear RTI shape."""
-        from koopman_realizations_tpu.control.kmpc import BilinearKmpc
-        mpc = self.mpc
+    def _fused_plant_ok(self) -> bool:
         plant = self.plant
-        return (isinstance(mpc, BilinearKmpc)
-                and getattr(mpc, "wants_zeta", False)
-                and mpc._Tb is not None
-                and mpc._lift_gens is not None
-                and self._dual_warm
-                and mpc._dual_shift is None
-                and self.observer is None
-                and self.nd == 0
-                and self.meta.nw == 0
-                and hasattr(plant, "cfg")
+        return (hasattr(plant, "cfg")
                 and getattr(plant.cfg, "integrator", None) == "sdirk2"
                 and getattr(plant.cfg, "jac_mode", None) in ("step",
                                                              "substep")
                 and getattr(plant.cfg, "output_type", None) in ("markers",
                                                                 "angles")
                 and hasattr(plant, "_G"))
+
+    def fused_step_eligible(self) -> bool:
+        """Whether the single-launch step-fused fast path applies (see
+        ``ops.pallas.step_fused``): the shipping bilinear RTI shape, or
+        the blocked LINEAR controller on a poly+PCA model (cold duals --
+        the verified linear floor)."""
+        from koopman_realizations_tpu.control.kmpc import (
+            BilinearKmpc,
+            LinearKmpc,
+        )
+        mpc = self.mpc
+        common = (self.observer is None and self.nd == 0
+                  and self.meta.nw == 0 and self._fused_plant_ok())
+        if not common:
+            return False
+        if isinstance(mpc, BilinearKmpc):
+            return (getattr(mpc, "wants_zeta", False)
+                    and mpc._Tb is not None
+                    and mpc._lift_gens is not None
+                    and self._dual_warm
+                    and mpc._dual_shift is None)
+        if isinstance(mpc, LinearKmpc):
+            basis = mpc.model.basis
+            return (mpc._Tb is not None
+                    and not self._dual_warm
+                    and mpc._dual_shift is None
+                    and basis is not None and basis.pcs is not None
+                    and len(basis.families) == 1
+                    and basis.families[0][0] == "poly")
+        return False
 
     def fused_runner(self, ref, steps: Optional[int] = None,
                      record=("Yp", "alive"), tile: int = None):
@@ -440,16 +457,26 @@ class Ksim:
         if not set(record) <= {"Yp", "alive"}:
             raise ValueError(f"fused_runner records only Yp/alive, got "
                              f"{record}")
+        from koopman_realizations_tpu.control.kmpc import LinearKmpc
         from koopman_realizations_tpu.ops.pallas.step_fused import (
+            build_linear_step_fused,
             build_step_fused,
         )
         mpc = self.mpc
         interpret = jax.default_backend() not in ("tpu", "axon")
-        step_fn, init_carry, _ = build_step_fused(
-            mpc, self.plant, self.scaler, tile=tile, interpret=interpret)
+        if isinstance(mpc, LinearKmpc):
+            step_fn, init_carry, fYr_fn, _ = build_linear_step_fused(
+                mpc, self.plant, self.scaler, tile=tile,
+                interpret=interpret)
+            step_vec = fYr_fn                  # refhor -> per-step column
+        else:
+            step_fn, init_carry, _ = build_step_fused(
+                mpc, self.plant, self.scaler, tile=tile,
+                interpret=interpret)
+            sq = jnp.sqrt(jnp.asarray(mpc.Qd, jnp.float32))
+            step_vec = lambda Yr: sq * Yr
         K = ref.shape[0] if steps is None else steps
         ref_padded = jnp.asarray(self.prep_ref(ref), jnp.float32)
-        sq = jnp.sqrt(jnp.asarray(mpc.Qd, jnp.float32))
         Np, nproj = mpc.Np, mpc.nproj
 
         def runner(X0, W):
@@ -461,7 +488,7 @@ class Ksim:
             def body(carry, k):
                 refhor = jax.lax.dynamic_slice(ref_padded, (k - 1, 0),
                                                (Np + 1, nproj))
-                return step_fn(carry, sq * refhor.reshape(-1))
+                return step_fn(carry, step_vec(refhor.reshape(-1)))
 
             _, (yp, alive) = jax.lax.scan(body, carry0, ks)
             out = {}

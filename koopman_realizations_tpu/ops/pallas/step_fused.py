@@ -45,12 +45,15 @@ from koopman_realizations_tpu.models.arm_lanes import sdirk2_rows
 from koopman_realizations_tpu.ops.pallas.qp_ipm import (
     _diag_obj_scale,
     _dot,
+    _dot3,
+    _dot_sel,
     _factored_gram,
     _lift_assembly_core,
     _lift_onehot_tables,
     _make_form_AtDA,
     _mehrotra_loop,
     _split_bf16,
+    _split_bf16_val,
     factored_tile_for,
 )
 
@@ -137,7 +140,21 @@ def _step_kernel(n, mc, iters, tile, band, p, m, nz, nx, tables, acfg,
     finite_x = jnp.all(jnp.isfinite(x), axis=0)
     ok = finite_x & (gap < gap_sane) & (r_p < tol * bmax)
 
-    # ---- plant step (previous input; independent of this step's QP) -----
+    _plant_freeze_epilogue(
+        acfg, G, bvec, uscale, yscale, proj_idx, nx, m, ok, x,
+        lam * obj[None, :], zt, up, xpl_ref, w_ref, alive_ref, x0_ref,
+        lamc_ref, yp_ref, Pwarm_ref,
+        (ysc_o, upsc_o, xpl_o, alive_o, x0_o, lam_o, yp_o))
+
+
+def _plant_freeze_epilogue(acfg, G, bvec, uscale, yscale, proj_idx, nx, m,
+                           ok, x, lam_carry_new, zt, up, xpl_ref, w_ref,
+                           alive_ref, x0_ref, lamc_ref, yp_ref, Pwarm_ref,
+                           outs):
+    """Shared tail of the fused step kernels: SDIRK2 plant step (previous
+    input; data-independent of this step's QP), output kinematics, alive
+    freeze, and the carry advance (see ``_step_kernel``)."""
+    (ysc_o, upsc_o, xpl_o, alive_o, x0_o, lam_o, yp_o) = outs
     uf, uo = uscale
     up_orig = [up[j] * uf[j] + uo[j] for j in range(m)]
     xs0 = tuple(xpl_ref[i] for i in range(nx))
@@ -150,7 +167,6 @@ def _step_kernel(n, mc, iters, tile, band, p, m, nz, nx, tables, acfg,
     y_rows = _markers_rows(acfg, list(xs_new[:nx // 2]))
     yfac, yoff = yscale
 
-    # ---- freeze + carry advance -----------------------------------------
     msk = (alive_ref[...][0] > 0.5) & ok & fin_pl      # (T,)
     mrow = msk[None, :]
     keep = lambda new, old: jnp.where(mrow, new, old)
@@ -163,7 +179,83 @@ def _step_kernel(n, mc, iters, tile, band, p, m, nz, nx, tables, acfg,
                      yp_ref[...])
     upsc_o[...] = keep(x[:m, :], up)                   # plan row 1 = move 0
     x0_o[...] = keep(_dot(Pwarm_ref[...], x), x0_ref[...])
-    lam_o[...] = keep(lam * obj[None, :], lamc_ref[...])
+    lam_o[...] = keep(lam_carry_new, lamc_ref[...])
+
+
+def _linear_step_kernel(n, mc, iters, tile, band, m, nz, nx, tables, acfg,
+                        G, bvec, uscale, yscale, proj_idx, tol, gap_sane,
+                        ysc_ref, upsc_ref, xpl_ref, w_ref, alive_ref,
+                        x0_ref, lamc_ref, yp_ref, fYr_ref,
+                        Psh_ref, G1zh_ref, G1zl_ref, G1b_ref, P21_ref,
+                        cFr_ref, F0r_ref, A_ref, At_ref, Pwarm_ref, *rest):
+    """Fused step tile for the LINEAR controller (static condensed MPC).
+
+    The linear QP's Hessian is LANE-SHARED and static, so no per-lane
+    Gram or objective scale exists: the host pre-equilibrates P and folds
+    1/obj into the gradient generators.  Per step the reduced gradient is
+    LINEAR in the lifted state and the reference window,
+    fz = G1 z + G2 Yr + P21 u0 (``LinearKmpc.solve``), and z's poly+PCA
+    lift folds into G1's sections exactly as in the bilinear lift-fused
+    kernel -- so the kernel consumes the raw zeta, the per-step
+    lane-shared G2 Yr column (fYr), and u_prev.  Duals start COLD (the
+    verified linear floor rejects the warm start).  Then the shared
+    plant/freeze/carry tail runs as in ``_step_kernel``.
+
+    ``rest``: [G1m hi/lo, Spar, Sdim] per degree block, the
+    banded-structure operands, then the 7 outputs.
+    """
+    T = tile
+    reg = jnp.float32(1e-7)
+    nblk = len(tables)
+    lift_ops = rest[:4 * nblk]
+    rest = rest[4 * nblk:]
+    (ysc_o, upsc_o, xpl_o, alive_o, x0_o, lam_o, yp_o) = rest[-7:]
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (rowi == coli).astype(jnp.float32)
+
+    zt = ysc_ref[...]                                  # zeta == scaled y
+    up = upsc_ref[...]                                 # (m, T) scaled
+
+    # ---- gradient assembly (3-pass bf16; generators carry 1/obj) --------
+    zh, zl = _split_bf16_val(zt)
+    q = _dot3(G1zh_ref[...], G1zl_ref[...], zh, zl) + G1b_ref[...] \
+        + fYr_ref[...]
+    prev = zt
+    for d in range(nblk):
+        G1mh, G1ml, Spar_d, Sdim_d = lift_ops[4 * d:4 * d + 4]
+        mono = _dot_sel(Spar_d, prev) * _dot_sel(Sdim_d, zt)
+        mh, ml = _split_bf16_val(mono)
+        q = q + _dot3(G1mh[...], G1ml[...], mh, ml)
+        prev = mono
+    P21 = P21_ref[...]                                 # (n, m), 1/obj folded
+    for j in range(m):
+        q = q + P21[:, j][:, None] * up[j][None, :]
+    b = jnp.broadcast_to(cFr_ref[...], (mc, T))
+    F0r = F0r_ref[...]
+    for j in range(m):
+        b = b - F0r[:, j][:, None] * up[j][None, :]
+
+    Pr = Psh_ref[...][..., None] + reg * eye[..., None]
+    A = A_ref[...]
+    At = At_ref[...]
+    form_AtDA = _make_form_AtDA(band, n, T, rest, eye, rowi, coli)
+    lam0 = jnp.ones((mc, T), jnp.float32)              # verified-floor cold
+    x, s, lam = _mehrotra_loop(n, mc, iters, 1e-2, Pr, q, b, A, At,
+                               form_AtDA, x0_ref[...], lam0)
+
+    gap = jnp.sum(s * lam, axis=0) / mc
+    r_p = jnp.max(jnp.maximum(_dot(A, x) - b, 0.0), axis=0)
+    bmax = jnp.maximum(jnp.max(jnp.abs(b), axis=0), 1.0)
+    finite_x = jnp.all(jnp.isfinite(x), axis=0)
+    ok = finite_x & (gap < gap_sane) & (r_p < tol * bmax)
+
+    _plant_freeze_epilogue(
+        acfg, G, bvec, uscale, yscale, proj_idx, nx, m, ok, x, lam,
+        zt, up, xpl_ref, w_ref, alive_ref, x0_ref, lamc_ref, yp_ref,
+        Pwarm_ref,
+        (ysc_o, upsc_o, xpl_o, alive_o, x0_o, lam_o, yp_o))
 
 
 def _step_call(carry, sqYr, operands, *, meta, interpret):
@@ -235,6 +327,201 @@ def _step_call(carry, sqYr, operands, *, meta, interpret):
     ysc1, upsc1, xpl1, alive1, x01, lam1, yp1 = outs
     return (ysc1, upsc1, xpl1, w, alive1, x01, lam1, yp1), \
         (yp1, alive1[0] > 0.5)
+
+
+def _linear_step_call(carry, fYr, operands, *, meta, interpret):
+    """One fused LINEAR-controller step (see ``_linear_step_kernel``)."""
+    (n, mc, iters, tile, band, m, nz, nx, ny, tables, acfg, G, bvec,
+     uscale, yscale, proj_idx, tol, gap_sane) = meta
+    ysc, upsc, xpl, w, alive, x0, lamc, yp = carry
+    Bp = ysc.shape[1]
+    kern = functools.partial(
+        _linear_step_kernel, n, mc, iters, tile, band, m, nz, nx, tables,
+        acfg, np.asarray(G), np.asarray(bvec), uscale, yscale, proj_idx,
+        tol, gap_sane)
+    lane2 = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    shared = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    (gen_args, lift_args, struct_args, cFr, F0r, A_eq, At, Pwarm) = \
+        operands
+    gen_specs = [shared(n, n), shared(n, nz), shared(n, nz), shared(n, 1),
+                 shared(n, m)]
+    lift_specs = []
+    prev_rows = nz
+    for parent_idx, _dim in tables:
+        r = len(parent_idx)
+        lift_specs += [shared(n, r), shared(n, r),
+                       shared(r, prev_rows), shared(r, nz)]
+        prev_rows = r
+    if band is None:
+        struct_specs = [shared(n * n, mc)]
+    else:
+        struct_specs = [shared(n, mc), shared(max(n - band, 1), mc)]
+    nproj = len(proj_idx)
+    outs = pl.pallas_call(
+        kern,
+        grid=(Bp // tile,),
+        in_specs=[
+            lane2(ny), lane2(m), lane2(nx), lane2(2), lane2(1),
+            lane2(n), lane2(mc), lane2(nproj),
+            shared(n, 1),
+            *gen_specs,
+            shared(mc, 1), shared(mc, m),
+            shared(mc, n), shared(n, mc), shared(n, n),
+            *lift_specs,
+            *struct_specs,
+        ],
+        out_specs=[lane2(ny), lane2(m), lane2(nx), lane2(1), lane2(n),
+                   lane2(mc), lane2(nproj)],
+        out_shape=[jax.ShapeDtypeStruct((ny, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((m, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((nx, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((mc, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((nproj, Bp), jnp.float32)],
+        interpret=interpret,
+    )(ysc, upsc, xpl, w, alive, x0, lamc, yp, fYr[:, None],
+      *gen_args, cFr[:, None], F0r, A_eq, At, Pwarm,
+      *lift_args, *struct_args)
+    ysc1, upsc1, xpl1, alive1, x01, lam1, yp1 = outs
+    return (ysc1, upsc1, xpl1, w, alive1, x01, lam1, yp1), \
+        (yp1, alive1[0] > 0.5)
+
+
+def build_linear_step_fused(mpc, arm, scaler, tile: int = None,
+                            interpret: bool = False):
+    """Build (step_fn, init_carry_fn, fYr_fn, meta) for the fused LINEAR
+    closed loop.  ``fYr_fn(Yr_flat)`` computes the per-step lane-shared
+    gradient column G2 @ Yr (host/XLA side, tiny); everything else
+    mirrors ``build_step_fused``.
+    """
+    from koopman_realizations_tpu.ops.observables import poly_parent_tables
+    basis = mpc.model.basis
+    assert mpc._Tb is not None and basis is not None \
+        and basis.pcs is not None and len(basis.families) == 1 \
+        and basis.families[0][0] == "poly"
+    acfg = arm.cfg
+    nx = acfg.nx
+    m = mpc.m
+    nz = mpc.meta.nzeta
+    ny = nz
+    A = np.asarray(mpc.F_red, np.float64)
+    n = A.shape[1]
+    mc = A.shape[0]
+    band = mpc._band
+    if tile is None:
+        import os
+        env = os.environ.get("KMPC_STEP_TILE")
+        tile = int(env) if env else (1024 if n <= 16
+                                     else factored_tile_for(n))
+
+    # static condensed pieces, f64, 1/obj folded (shared Hessian => the
+    # objective scale is a HOST constant)
+    P = 2.0 * np.asarray(mpc.H, np.float64)
+    obj = max(float(np.max(np.abs(P))), 1e-8)
+    Psh = (P[m:, m:] / obj).astype(np.float32)
+    P21 = (P[m:, :m] / obj).astype(np.float32)
+    CBr = np.asarray(mpc.CB, np.float64)[:, m:]        # ((Np+1)p, nred)
+    Qd = np.asarray(mpc.q_diag, np.float64)
+    CA = np.asarray(mpc.CA, np.float64)
+    G1 = (2.0 * CBr.T @ (Qd[:, None] * CA)) / obj      # (nred, NL)
+    G2 = (-2.0 * CBr.T * Qd[None, :]) / obj            # (nred, (Np+1)p)
+    # fold the poly+PCA lift into G1's z-sections (lift-fused bilinear
+    # pattern: z = [zeta; pcs^T g; 1])
+    nzq = basis.nzeta_aug
+    P_T = np.asarray(basis.pcs, np.float64).T
+    npcs = P_T.shape[0]
+    G1p = G1[:, nzq:nzq + npcs]
+    G1z = G1[:, :nzq] + G1p @ P_T[:, :nzq]
+    G1m = G1p @ P_T[:, nzq:-1]
+    G1b = (G1[:, -1] + G1p @ P_T[:, -1]).reshape(-1, 1)
+    _, tables = poly_parent_tables(nzq, basis.families[0][1])
+    tables = tuple((tuple(int(x) for x in pi), tuple(int(x) for x in di))
+                   for pi, di in tables)
+
+    row = np.maximum(np.max(np.abs(A), axis=1), 1e-10)
+    A_eq = jnp.asarray((A / row[:, None]).astype(np.float32))
+    cFr = jnp.asarray(np.asarray(mpc.cF_red) / row, jnp.float32)
+    F0r = jnp.asarray(np.asarray(mpc.F0_red) / row[:, None], jnp.float32)
+    Aeq_np = np.asarray(A_eq, np.float64)
+    if band is None:
+        struct_args = (jnp.asarray(
+            np.einsum("ci,cj->ijc", Aeq_np, Aeq_np)
+            .reshape(n * n, mc).astype(np.float32)),)
+    else:
+        Wd = (Aeq_np * Aeq_np).T.astype(np.float32)
+        Wo = (Aeq_np[:, :n - band] * Aeq_np[:, band:]).T \
+            .astype(np.float32) if band > 0 \
+            else np.zeros((1, mc), np.float32)
+        struct_args = (jnp.asarray(Wd), jnp.asarray(Wo))
+
+    gen_args = [jnp.asarray(Psh), *_split_bf16(G1z),
+                jnp.asarray(G1b, jnp.float32), jnp.asarray(P21)]
+    onehot = _lift_onehot_tables(tables, nzq)
+    lift_args = []
+    off = 0
+    for (Spar, Sdim) in onehot:
+        r = Spar.shape[0]
+        lift_args += list(_split_bf16(G1m[:, off:off + r]))
+        lift_args += [jnp.asarray(Spar), jnp.asarray(Sdim)]
+        off += r
+
+    Np = mpc.Np
+    S_rows = np.zeros(((Np - 1) * m, (Np - 1) * m), np.float32)
+    for k in range(Np - 1):
+        src = min(k + 1, Np - 2)
+        S_rows[k * m:(k + 1) * m, src * m:(src + 1) * m] = np.eye(m)
+    Pwarm = jnp.asarray(
+        np.asarray(mpc._Sel, np.float32) @ S_rows
+        @ np.asarray(mpc._Tb, np.float32))
+
+    uf = tuple(float(x) for x in np.asarray(scaler.u_factor).reshape(-1))
+    uo = tuple(float(x) for x in np.asarray(scaler.u_offset).reshape(-1))
+    yfac = tuple(float(x) for x in np.asarray(scaler.y_factor).reshape(-1))
+    yoff = tuple(float(x) for x in np.asarray(scaler.y_offset).reshape(-1))
+    meta = (n, mc, int(mpc.cfg.qp_iters), int(tile), band, m, nz, nx, ny,
+            tables, acfg, tuple(map(tuple, np.asarray(arm._G))),
+            tuple(np.asarray(arm._b)), (uf, uo), (yfac, yoff),
+            tuple(mpc.proj_idx), 3e-3, 5e-2)
+    operands = (tuple(gen_args), tuple(lift_args), tuple(struct_args),
+                cFr, F0r, A_eq, A_eq.T, Pwarm)
+    G2j = jnp.asarray(G2.astype(np.float32))
+
+    def fYr_fn(Yr_flat):
+        return G2j @ Yr_flat                           # (n,) per step
+
+    def step_fn(carry, fYr):
+        return _linear_step_call(carry, fYr, operands, meta=meta,
+                                 interpret=interpret)
+
+    def init_carry(X0, W, u0=None):
+        B = X0.shape[0]
+        pad = (-B) % tile
+
+        def padb(a):
+            a = jnp.asarray(a, jnp.float32)
+            if pad:
+                a = jnp.concatenate([a, jnp.tile(a[-1:], (pad, 1))], 0)
+            return a.T
+
+        X0 = jnp.asarray(X0, jnp.float32)
+        y0 = arm.get_y_batch(X0)
+        ysc0 = jax.vmap(scaler.y_down)(y0)
+        u0 = jnp.zeros((m,), jnp.float32) if u0 is None \
+            else jnp.asarray(u0, jnp.float32)
+        u0_sc = jnp.asarray(scaler.u_down(u0), jnp.float32)
+        upsc0 = jnp.tile(u0_sc[None], (B, 1))
+        nf = Pwarm.shape[0] // m
+        x00 = jnp.tile(jnp.tile(u0_sc, nf)[None], (B, 1))
+        lam0 = jnp.ones((B, mc), jnp.float32)          # cold; carry unused
+        alive0 = jnp.ones((B, 1), jnp.float32)
+        yp0 = y0[:, list(mpc.proj_idx)]
+        return (padb(ysc0), padb(upsc0), padb(X0), padb(W), padb(alive0),
+                padb(x00), padb(lam0), padb(yp0))
+
+    return step_fn, init_carry, fYr_fn, {"tile": tile, "n": n, "mc": mc}
 
 
 def build_step_fused(mpc, arm, scaler, tile: int = None,

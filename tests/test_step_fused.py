@@ -86,3 +86,47 @@ def test_fused_runner_rejects_ineligible(bench_sim):
     # unsupported record set on the eligible sim
     with pytest.raises(ValueError):
         sim.fused_runner(ref["y"], steps=10, record=("Y", "alive"))
+
+
+@pytest.fixture(scope="module")
+def linear_sim():
+    ds = load_data4sysid(DATAFILE)
+    ks = Ksysid(ds, SysidConfig(model_type="linear", obs_type=("poly",),
+                                obs_degree=(3,), dim_red=True,
+                                dtype="float32")).train_models()
+    mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
+        horizon=10, qp_iters=3, qp_dual_warm=False,
+        input_blocks=(1, 1, 2, 5),
+        input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8), input_slopeConst=1e-1,
+        cost_running=10.0, cost_terminal=100.0,
+        cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2), proj_idx=(4, 5)))
+    arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
+                        output_type="markers", substeps=3, newton_iters=1,
+                        jac_mode="step"))
+    return Ksim(arm, mpc), load_ref_trajectory(REFTRAJ)
+
+
+def test_linear_fused_runner_matches_general(linear_sim):
+    """LINEAR-controller fused step (shared-Hessian kernel + plant in one
+    launch).  The verified linear floor runs qp_iters=3 COLD, so single
+    solves are far from convergence and the kernel-vs-pure iterate gap is
+    wider than the bilinear case (the gradient generators themselves are
+    exact to 1.5e-8 -- verified in-round); the bound here catches wiring
+    errors, and large-batch TPU runs pin floor-class closed-loop quality
+    (err 0.1310 vs the recorded 0.1313 floor, alive 1.0 at B=262144)."""
+    sim, ref = linear_sim
+    assert sim.fused_step_eligible()
+    B, steps = 4, 30
+    X0 = np.zeros((B, 6), np.float32)
+    X0[:, 0] = np.linspace(-0.2, 0.2, B)
+    W = np.zeros((B, 2), np.float32)
+    out_f = jax.block_until_ready(
+        sim.fused_runner(ref["y"], steps=steps)(X0, W))
+    out_b = jax.block_until_ready(
+        sim.batched_runner(ref["y"], steps=steps,
+                           record=("Yp", "alive"))(X0, W))
+    assert np.asarray(out_f["alive"]).all()
+    assert np.asarray(out_b["alive"]).all()
+    d = np.abs(np.asarray(out_f["Yp"]) - np.asarray(out_b["Yp"]))
+    assert d.max() < 0.06, d.max()
+    assert d[:, :5].max() < 0.02, d[:, :5].max()
