@@ -44,9 +44,10 @@ def main():
     # 22.46M vs 21.17M at 32768, error/alive identical across 4k-64k).
     # round 5: the STEP-FUSED runner (one Pallas launch per closed-loop
     # step, ops/pallas/step_fused.py) moves the batch peak up again:
-    # 65536 24.2M / 131072 25.6M / 262144 25.9M (tile=1024) vs the
-    # unfused runner's 22.3M at 65536.  BENCH_FUSED=0 opts back into the
-    # general batched_runner.
+    # 65536 24.2M / 131072 25.6M / 262144 25.9M (tile=1024, qp=3) vs the
+    # unfused runner's 22.3M at 65536; at the shipping qp=4 + newton=1
+    # config 262144 is the peak (23.3M; 524288 declines to 20.8M).
+    # BENCH_FUSED=0 opts back into the general batched_runner.
     batch = int(os.environ.get("BENCH_BATCH", "262144"))
     steps = int(os.environ.get("BENCH_STEPS", "301"))
 
