@@ -218,7 +218,11 @@ def main():
             # in README "Roofline accounting"
             "flops_per_lane_step": cost["flops_total"],
             "hbm_bytes_per_lane_step_est": cost["bytes_est"],
-            "mfu": round(roof.get("mfu_vs_bf16_peak", float("nan")), 6),
+            # None (not NaN) when the device peak is unknown (CPU smoke
+            # runs): NaN is not strict JSON
+            "mfu": (round(roof["mfu_vs_bf16_peak"], 6)
+                    if np.isfinite(roof.get("mfu_vs_bf16_peak",
+                                            float("nan"))) else None),
             "hbm_gbps": round(roof["hbm_gbps_est"], 1),
         },
     }
