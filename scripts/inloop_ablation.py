@@ -1,5 +1,12 @@
 """TRUE in-loop phase costs by surgical ablation of the fused scan.
 
+ROUND-5 NOTE: this measures the GENERAL (unfused) runner -- the bench
+now ships the single-launch step-fused runner (ops/pallas/step_fused.py)
+whose in-kernel anatomy is attributed by scripts/device_profile.py +
+scripts/kernel_anatomy.py instead (stubbing mpc.solve cannot see inside
+one launch; the round-5 trace also showed this script's qp-iters
+marginal UNDER-measures because removing the QP removes its prologue).
+
 The isolated chained-phase anatomy (scripts/step_anatomy_bench.py) measures
 each phase OUT of the loop; at B=32768 its numbers sum to more than the
 real step, i.e. it overstates shares (different layouts, no cross-phase
