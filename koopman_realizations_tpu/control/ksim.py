@@ -441,14 +441,15 @@ class Ksim:
         """Single-launch-per-step closed loop (``ops.pallas.step_fused``).
 
         Semantics of ``batched_runner(record=("Yp", "alive"))`` for the
-        shipping bilinear RTI configuration, but the QP, the SDIRK2 plant
-        step, the output kinematics, the freeze masks, and the
-        receding-horizon warm-start advance all run in ONE Pallas launch
-        with lanes-minor carries across the scan -- no per-step
-        (B, n) <-> (n, B) transposes, no XLA glue between phases.
-        Returns fn(x0_batch, w_batch) like ``batched_runner``; lanes pad
-        to the kernel tile internally.  Parity vs the general runner is
-        pinned in tests/test_step_fused.py.
+        shipping RTI configurations (bilinear lift-fused, or the blocked
+        LINEAR controller), but the QP, the SDIRK2 plant step, the output
+        kinematics, the freeze masks, and the receding-horizon warm-start
+        advance all run in ONE Pallas launch with lanes-minor carries
+        across the scan -- no per-step (B, n) <-> (n, B) transposes, no
+        XLA glue between phases.  Returns fn(x0_batch, w_batch) like
+        ``batched_runner``; lanes pad to the kernel tile internally.
+        Parity vs the general runner is pinned in
+        tests/test_step_fused.py.
         """
         if not self.fused_step_eligible():
             raise ValueError("fused_runner: configuration not eligible "
