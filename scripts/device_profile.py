@@ -53,20 +53,28 @@ def build_runner():
     blocks = tuple(int(b) for b in blocks_env.split(",")) if blocks_env \
         else None
     mpc = make_kmpc(ks.model, ks.scaler, MpcConfig(
-        horizon=10, qp_iters=int(os.environ.get("BENCH_QP_ITERS", "3")),
+        horizon=10, qp_iters=int(os.environ.get("BENCH_QP_ITERS", "4")),
         qp_dual_warm=True, qp_dual_shift=False, input_blocks=blocks,
         input_bounds=(-7 * np.pi / 8, 7 * np.pi / 8), input_slopeConst=1e-1,
         cost_running=10.0, cost_terminal=100.0,
         cost_input=(0.1 * 3e-2, 0.1 * 2e-2, 0.1 * 1e-2), proj_idx=(4, 5)))
     arm = Arm(ArmConfig(Nmods=3, nlinks=1, L=1.0, m=0.1,
-                        output_type="markers", substeps=3, newton_iters=2,
+                        output_type="markers", substeps=3,
+                        newton_iters=int(os.environ.get("BENCH_NEWTON",
+                                                        "1")),
                         jac_mode="step"))
     sim = Ksim(arm, mpc)
     X0 = np.zeros((B, 6), np.float32)
     X0[:, 0] = np.linspace(-0.2, 0.2, B)
     W0 = np.zeros((B, 2), np.float32)
-    runner = sim.batched_runner(ref["y"], steps=steps,
-                                record=("Yp", "alive"))
+    # trace the SHIPPING program: the step-fused runner when eligible
+    # (BENCH_FUSED=0 falls back to the general runner for comparisons)
+    if os.environ.get("BENCH_FUSED", "1") != "0" \
+            and sim.fused_step_eligible():
+        runner = sim.fused_runner(ref["y"], steps=steps)
+    else:
+        runner = sim.batched_runner(ref["y"], steps=steps,
+                                    record=("Yp", "alive"))
     return runner, X0, W0, B, steps
 
 
